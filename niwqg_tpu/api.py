@@ -1,0 +1,484 @@
+"""User-facing model classes.
+
+Thin stateful shells over the pure functional kernels, presenting the
+reference's API surface (``Model(**kwargs)``, ``set_q``/``set_phi``/
+``set_c``, ``run``, ``run_with_snapshots``, ``model.diagnostics[...]
+['value']``) so a user of ``cesar-rocha/niwqg`` can switch with minimal
+changes. Constructor kwargs and defaults follow ``niwqg/Kernel.py:70-98``
+and ``niwqg/QGModel.py:65-91``; extra TPU-native knobs: ``dtype``,
+``backend`` ('native' jnp.fft | 'mxu' matmul-DFT | 'auto'), ``precision``
+(MXU precision mode), and ``mesh`` for sharded execution.
+"""
+
+from __future__ import annotations
+
+import logging
+import math
+from typing import Optional
+
+import jax
+import numpy as np
+
+from . import diagnostics as diag_mod
+from .carray import C
+from .diagnostics import SeriesAccumulator
+from .io import Saver
+from .models.coupled import CoupledPhysics
+from .models.kernel import KernelParams, WaveKernel
+from .models.qg import QGKernel, QGParams
+from .models.ql import QLPhysics
+from .models.uncoupled import UnCoupledPhysics
+from .models.ybj import YBJKernel
+
+
+def _default_dtype():
+    # float64 where the backend supports it (CPU), float32 on TPU.
+    return np.float64 if jax.default_backend() in ("cpu",) else np.float32
+
+
+def _make_logger(name: str, loglevel: int = 10) -> logging.Logger:
+    """Reference-style logger (``niwqg/Kernel.py:286-304``)."""
+    logger = logging.getLogger(name)
+    handler = logging.StreamHandler()
+    handler.setFormatter(logging.Formatter("%(levelname)s: %(message)s"))
+    if not logger.handlers:
+        logger.addHandler(handler)
+    logger.setLevel(loglevel)
+    logger.propagate = False
+    return logger
+
+
+class _ModelBase:
+    """Shared run-loop / IO / diagnostics machinery."""
+
+    model = "model"
+
+    def _init_services(self, path, save_to_disk, overwrite, registry):
+        self.logger = _make_logger(type(self).__module__)
+        self.logger.info(" %s", self.model)
+        self.logger.info(
+            " Using filter" if self.kernel.grid.use_filter else
+            (" Dealiasing with 2/3 rule" if self.kernel.grid.dealias
+             else " No dealiasing; no filter")
+        )
+        self.registry = registry
+        self._diag_acc = SeriesAccumulator(registry)
+        self.saver = Saver(path, save_to_disk, overwrite)
+        self.saver.save_setup(self)
+        self._step_jit = jax.jit(self.kernel.step)
+        self._diag_jit = jax.jit(self._diag_fn)
+        self._chunk_cache = {}
+
+    # -- pure helpers ------------------------------------------------------
+    def _diag_fn(self, state, t_prev):
+        raise NotImplementedError
+
+    def _chunk(self, n: int):
+        if n not in self._chunk_cache:
+            kernel = self.kernel
+
+            def body(s, _):
+                return kernel.step(s), None
+
+            self._chunk_cache[n] = jax.jit(
+                lambda s: jax.lax.scan(body, s, None, length=n)[0]
+            )
+        return self._chunk_cache[n]
+
+    # -- grid passthroughs (reference attribute surface) -------------------
+    @property
+    def grid(self):
+        return self.kernel.grid
+
+    @property
+    def nx(self):
+        return self.kernel.grid.nx
+
+    @property
+    def ny(self):
+        return self.kernel.grid.ny
+
+    @property
+    def L(self):
+        return self.kernel.grid.L
+
+    @property
+    def x(self):
+        return self.kernel.grid.x_np
+
+    @property
+    def y(self):
+        return self.kernel.grid.y_np
+
+    @property
+    def wv(self):
+        return self.kernel.grid.wv_np
+
+    @property
+    def wv2(self):
+        return self.kernel.grid.wv2_np
+
+    @property
+    def kk(self):
+        return self.kernel.grid.kk_np
+
+    @property
+    def ll(self):
+        return self.kernel.grid.ll_np
+
+    @property
+    def filtr(self):
+        return self.kernel.grid.filtr_np
+
+    @property
+    def dt(self):
+        return self.kernel.params.dt
+
+    @property
+    def t(self):
+        return float(np.asarray(self.state.t))
+
+    @property
+    def tc(self):
+        return int(np.asarray(self.state.tc))
+
+    @property
+    def diagnostics(self):
+        return self._diag_acc.as_reference_dict()
+
+    def describe_diagnostics(self):
+        print(self.registry.describe())
+
+    def spec_var(self, ph):
+        """Host-side spec_var on a numpy complex transform array."""
+        g = self.kernel.grid
+        var_dens = np.abs(np.asarray(ph)) ** 2 / float(g.M) ** 2
+        if g.spectrum == "half":
+            var_dens = 2.0 * var_dens
+            var_dens[:, 0] *= 0.5
+            var_dens[:, -1] *= 0.5
+        var_dens[0, 0] = 0.0
+        return var_dens.sum()
+
+    # -- run loop ----------------------------------------------------------
+    def _snapshot_fields(self):
+        raise NotImplementedError
+
+    def _step_forward(self):
+        """One step + diagnostics/print/save cadence
+        (``niwqg/Kernel.py:205-217``; cadence quirks per SURVEY.md §2)."""
+        p = self.params
+        tc_before = int(np.asarray(self.state.tc))
+        t_prev = self.state.t
+        self.state = self._step_jit(self.state)
+
+        # diagnostics sampled when the *pre-step* counter hits the cadence
+        # (``niwqg/Diagnostics.py:41-43`` runs before ``_print_status``
+        # increments tc), recording the pre-step time.
+        if tc_before % p.tdiags == 0:
+            vals = self._diag_jit(self.state, t_prev)
+            self._diag_acc.append(jax.device_get(vals))
+
+        tc_now = tc_before + 1
+        if tc_now % p.twrite == 0:
+            self._print_status()
+        if tc_now % p.tsave_snapshots == 0:
+            self.saver.save_snapshot(self, self._snapshot_fields())
+
+    def run(self):
+        """Run to ``tmax`` (``niwqg/Kernel.py:183-203``)."""
+        if self.saver.save_to_disk:
+            self.saver.save_snapshot(self, self._snapshot_fields())
+        while self.t < self.params.tmax:
+            self._step_forward()
+        if self.saver.save_to_disk:
+            self.saver.save_diagnostics(self.diagnostics)
+
+    def run_with_snapshots(self, tsnapstart=0.0, tsnapint=432000.0):
+        """Generator run loop (``niwqg/Kernel.py:161-181``)."""
+        tsnapints = np.ceil(tsnapint / self.params.dt)
+        while self.t < self.params.tmax:
+            self._step_forward()
+            if self.t >= tsnapstart and (self.tc % tsnapints) == 0:
+                yield self.t
+
+    def run_steps(self, n: int):
+        """Fast path: n steps as one compiled ``lax.scan`` (no host I/O)."""
+        self.state = self._chunk(n)(self.state)
+        return self.state
+
+    def _print_status(self):
+        raise NotImplementedError
+
+    # checkpointing (beyond-reference capability)
+    def save_checkpoint(self, path: str):
+        from .io import save_checkpoint
+
+        save_checkpoint(path, self)
+
+    def load_checkpoint(self, path: str):
+        from .io import load_checkpoint
+
+        return load_checkpoint(path, self)
+
+
+class _WaveModel(_ModelBase):
+    """Common shell for the four wave-kernel models."""
+
+    _physics_factory = None
+    _registry_factory = staticmethod(diag_mod.wave_kernel_registry)
+    _kernel_cls = WaveKernel
+
+    def __init__(self, nx=128, ny=None, L=5e5, dt=10000.0, twrite=1000,
+                 tmax=250000.0, use_filter=True, cflmax=0.8, U=0.0, f=1.0e-4,
+                 N=0.01, m=0.025, g=9.81, nu4=0, nu4w=0, nu=20, nuw=50.0,
+                 mu=0, muw=0, dealias=False, save_to_disk=False,
+                 overwrite=True, tsave_snapshots=10, tdiags=10,
+                 path="output/", dtype=None, backend="auto",
+                 precision="auto", **kernel_kwargs):
+        del ny  # accepted but ignored, as in the reference (Kernel.py:101)
+        self.params = KernelParams(
+            nx=nx, L=L, dt=dt, tmax=tmax, twrite=int(twrite), cflmax=cflmax,
+            U=U, f=f, N=N, m=m, g=g, nu4=nu4, nu4w=nu4w, nu=nu, nuw=nuw,
+            mu=mu, muw=muw, use_filter=use_filter, dealias=dealias,
+            tdiags=tdiags, tsave_snapshots=tsave_snapshots,
+        )
+        dtype = dtype or _default_dtype()
+        self.kernel = self._make_kernel(dtype, backend, precision,
+                                        **kernel_kwargs)
+        self.state = self.kernel.zero_state()
+        self._init_services(path, save_to_disk, overwrite,
+                            self._registry_factory())
+
+    def _make_kernel(self, dtype, backend, precision, **kw):
+        return self._kernel_cls(self.params, self._physics_factory(),
+                                dtype=dtype, backend=backend,
+                                precision=precision, **kw)
+
+    # -- state access ------------------------------------------------------
+    @property
+    def q(self):
+        return np.asarray(self.state.d.q)
+
+    @property
+    def phi(self):
+        return self.state.d.phi.to_complex()
+
+    @property
+    def p(self):
+        return np.asarray(self.state.d.p)
+
+    @property
+    def qh(self):
+        return self.state.qh.to_complex()
+
+    @property
+    def phih(self):
+        return self.state.phih.to_complex()
+
+    @property
+    def ph(self):
+        return self.state.d.ph.to_complex()
+
+    @property
+    def u(self):
+        return np.asarray(self.state.d.u)
+
+    @property
+    def v(self):
+        return np.asarray(self.state.d.v)
+
+    @property
+    def Ke(self):
+        return float(np.asarray(self.state.Ke))
+
+    @property
+    def Pw(self):
+        return float(np.asarray(self.state.Pw))
+
+    @property
+    def Kw(self):
+        return float(np.asarray(self.state.Kw))
+
+    def get_field(self, name: str):
+        if name == "t":
+            return self.t
+        return getattr(self, name)
+
+    def _snapshot_fields(self):
+        return ["t", "q", "phi"]
+
+    def set_q(self, q):
+        self.state = self.kernel.apply_set_q(self.state, q)
+
+    def set_phi(self, phi):
+        self.state = self.kernel.apply_set_phi(self.state, phi)
+
+    def _diag_fn(self, state, t_prev):
+        K = self.kernel
+        src = K.stage_sources(state.qh, state.phih, state.d)
+        aux = {"time": t_prev, "src": src}
+        return self.registry.evaluate(K, state, aux)
+
+    def _print_status(self):
+        """``niwqg/Kernel.py:568-598`` status line + CFL guard."""
+        K, s = self.kernel, self.state
+        ke = float(np.asarray(K.ke_qg(s.d.ph)))
+        kew = float(np.asarray(K.ke_niw(s.d.phi)))
+        pew = float(np.asarray(K.pe_niw(s.phih)))
+        cfl = float(np.asarray(K.cfl(s)))
+        self.logger.info(
+            "Step: %4i, Time: %2.1e, P: %2.1e, Ke: %4.3e, Kw: %4.3e, "
+            "Pw: %4.3e, CFL: %3.2f",
+            self.tc, self.t, self.t / self.params.tmax, ke, kew, pew, cfl,
+        )
+        assert cfl < self.params.cflmax, self.logger.error(
+            "CFL condition violated"
+        )
+
+
+class CoupledModel(_WaveModel):
+    """Xie & Vanneste (2015) coupled model (``niwqg/CoupledModel.py``)."""
+
+    model = " Coupled Model"
+    _physics_factory = staticmethod(CoupledPhysics)
+    _registry_factory = staticmethod(diag_mod.coupled_registry)
+
+    def _diag_fn(self, state, t_prev):
+        K = self.kernel
+        src = K.stage_sources(state.qh, state.phih, state.d)
+        q_, w_, qw_ = K.physics.ke_qg_decomp(K, state.qh, state.d.qwh)
+        aux = {"time": t_prev, "src": src, "ke_qg_q": q_, "ke_qg_w": w_,
+               "ke_qg_qw": qw_}
+        return self.registry.evaluate(K, state, aux)
+
+
+class UnCoupledModel(_WaveModel):
+    """YBJ waves on an evolving flow (``niwqg/UnCoupledModel.py``)."""
+
+    model = " Uncoupled Model"
+    _physics_factory = staticmethod(UnCoupledPhysics)
+
+
+class QLModel(_WaveModel):
+    """Quasilinear coupled model (intended physics of ``niwqg/QLModel.py``)."""
+
+    model = " Quasilinear Model"
+    _physics_factory = staticmethod(QLPhysics)
+
+
+class YBJModel(_WaveModel):
+    """Waves on a steady flow (``niwqg/YBJModel.py``)."""
+
+    model = " YBJ Model (Steady QG flow)"
+
+    def _make_kernel(self, dtype, backend, precision, faithful_quirks=True):
+        return YBJKernel(self.params, faithful_quirks=faithful_quirks,
+                         dtype=dtype, backend=backend, precision=precision)
+
+
+class QGModel(_ModelBase):
+    """Standalone barotropic QG model (``niwqg/QGModel.py``)."""
+
+    model = " QG Model"
+
+    def __init__(self, nx=128, ny=None, L=5e5, dt=10000.0, twrite=1000,
+                 tswrite=10, tmax=250000.0, use_filter=True, U=0.0,
+                 nu4=5.0e9, nu=0, mu=0, beta=0, passive_scalar=False,
+                 nu4c=5.0e9, nuc=0, muc=0, dealias=False, save_to_disk=False,
+                 overwrite=True, tsave_snapshots=10, tdiags=10,
+                 path="output/", dtype=None, backend="auto",
+                 precision="auto"):
+        del ny, tswrite
+        self.params = QGParams(
+            nx=nx, L=L, dt=dt, tmax=tmax, twrite=int(twrite), cflmax=0.5,
+            U=U, beta=beta, nu4=nu4, nu=nu, mu=mu,
+            passive_scalar=passive_scalar, nu4c=nu4c, nuc=nuc, muc=muc,
+            use_filter=use_filter, dealias=dealias, tdiags=tdiags,
+            tsave_snapshots=tsave_snapshots,
+        )
+        dtype = dtype or _default_dtype()
+        self.kernel = QGKernel(self.params, dtype=dtype, backend=backend,
+                               precision=precision)
+        self.state = self.kernel.zero_state()
+        self._init_services(path, save_to_disk, overwrite,
+                            diag_mod.qg_registry())
+
+    # -- state access ------------------------------------------------------
+    @property
+    def q(self):
+        return np.asarray(self.state.q)
+
+    @property
+    def c(self):
+        return np.asarray(self.state.c)
+
+    @property
+    def p(self):
+        return np.asarray(self.state.p)
+
+    @property
+    def qh(self):
+        return self.state.qh.to_complex()
+
+    @property
+    def ch(self):
+        return self.state.ch.to_complex()
+
+    @property
+    def ph(self):
+        return self.state.ph.to_complex()
+
+    @property
+    def Ke(self):
+        return float(np.asarray(self.state.Ke))
+
+    @property
+    def cvar(self):
+        return float(np.asarray(self.state.cvar))
+
+    def get_field(self, name: str):
+        if name == "t":
+            return self.t
+        return getattr(self, name)
+
+    def _snapshot_fields(self):
+        # the reference's _step_forward always requests ['t','q','c']
+        # (``niwqg/QGModel.py:221``)
+        return ["t", "q", "c"] if self.params.passive_scalar else ["t", "q"]
+
+    def set_q(self, q):
+        self.state = self.kernel.apply_set_q(self.state, q)
+
+    def set_c(self, c):
+        self.state = self.kernel.apply_set_c(self.state, c)
+
+    def _diag_fn(self, state, t_prev):
+        K = self.kernel
+        aux = {"time": t_prev}
+        if self.params.passive_scalar:
+            C2, gradC2, lapc, Gamma_c = K._scalar_derived(state.ch, state.u,
+                                                          state.v)
+            aux.update(
+                C2=C2, gradC2=gradC2, Gamma_c=Gamma_c,
+                ep_c=K.ep_c(C2, gradC2, lapc),
+                chi_c=K.chi_c(state.ch, gradC2, lapc),
+            )
+        else:
+            zero = state.Ke * 0.0
+            aux.update(C2=zero, gradC2=zero, Gamma_c=zero, ep_c=zero,
+                       chi_c=zero)
+        return self.registry.evaluate(K, state, aux)
+
+    def _print_status(self):
+        """``niwqg/QGModel.py:554-578``."""
+        K, s = self.kernel, self.state
+        ke = float(np.asarray(K.ke_qg(s.ph)))
+        cfl = float(np.asarray(K.cfl(s)))
+        self.logger.info(
+            "Step: %i, Time: %4.3e, P: %4.3e , Ke: %4.3e, CFL: %4.3f",
+            self.tc, self.t, self.t / self.params.tmax, ke, cfl,
+        )
+        assert cfl < self.params.cflmax, self.logger.error(
+            "CFL condition violated"
+        )

@@ -1,0 +1,97 @@
+"""ETDRK4 (exponential time differencing RK4) coefficient tables.
+
+Cox & Matthews (2002) scheme with coefficients evaluated by the
+Kassam & Trefethen (2005) circular contour mean (M=32 points, radius 1),
+matching the reference construction (``niwqg/Kernel.py:400-454``,
+``niwqg/QGModel.py:410-466``) bit-for-bit: everything is computed on the
+host in numpy complex128 and only cast to the model dtype at the end.
+
+The per-equation linear operator ``c`` bundles mean-flow advection, the
+three dissipation operators, and (for the wave equation) the NIW dispersion
+term ``-i/2 * f * wv2/kappa^2`` (``niwqg/Kernel.py:440-442``); the QG model
+adds ``beta * ik / wv2`` (``niwqg/QGModel.py:427-428``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple
+
+import numpy as np
+
+from .carray import C
+from .grid import Grid
+
+
+class ETDRK4Coefs(NamedTuple):
+    """Device-resident coefficient tables for one prognostic equation.
+
+    All entries are complex pairs over the spectral grid. The update
+    formulas (``niwqg/Kernel.py:325-388``) are:
+      stage1: uh = (expch_h*uh0 + F0*Qh) * filtr
+      stage2: uh = (expch_h*uh0 + Fa*Qh) * filtr
+      stage3: uh = (expch_h*uh1 + (2Fb - F0)*Qh) * filtr
+      final : uh = (expch*uh0 + F0*f0 + 2(Fa+Fb)*fab + Fc*fc) * filtr
+    """
+
+    expch: C
+    expch_h: C
+    Qh: C
+    f0: C
+    fab: C
+    fc: C
+
+
+def _contour_phis(ch: np.ndarray, dt: float, M: int = 32, rho: float = 1.0):
+    """Kassam–Trefethen contour means of the four phi-functions."""
+    r = rho * np.exp(2j * np.pi * ((np.arange(1.0, M + 1)) / M))
+    LR = ch[..., np.newaxis] + r[np.newaxis, np.newaxis, ...]
+    LR2 = LR * LR
+    LR3 = LR2 * LR
+    Qh = dt * (((np.exp(LR / 2.0) - 1.0) / LR).mean(axis=-1))
+    f0 = dt * (
+        (((-4.0 - LR + (np.exp(LR) * (4.0 - 3.0 * LR + LR2))) / LR3).mean(axis=-1))
+    )
+    fab = dt * (((2.0 + LR + np.exp(LR) * (-2.0 + LR)) / LR3).mean(axis=-1))
+    fc = dt * (((-4.0 - 3.0 * LR - LR2 + np.exp(LR) * (4.0 - LR)) / LR3).mean(axis=-1))
+    return Qh, f0, fab, fc
+
+
+def build_coefs(grid: Grid, c: np.ndarray, dt: float) -> ETDRK4Coefs:
+    """Build ETDRK4 tables for a linear operator ``c`` (complex128, host)."""
+    ch = c * dt
+    expch = np.exp(ch)
+    expch_h = np.exp(ch / 2.0)
+    Qh, f0, fab, fc = _contour_phis(ch, dt)
+    to = lambda z: C.from_complex(z, dtype=grid.dtype)
+    return ETDRK4Coefs(to(expch), to(expch_h), to(Qh), to(f0), to(fab), to(fc))
+
+
+def linear_operator_q(grid: Grid, U: float, nu4: float, nu: float, mu: float,
+                      beta: float = 0.0) -> np.ndarray:
+    """Linear operator of the vorticity equation (``niwqg/Kernel.py:417-418``)."""
+    c = np.zeros((grid.nl, grid.nk), np.complex128) - 1j * grid.k_np * U
+    c += -nu4 * grid.wv4_np - nu * grid.wv2_np - mu
+    if beta:
+        c += beta * (1j * grid.k_np) * grid.wv2i_np
+    return c
+
+
+def linear_operator_phi(grid: Grid, U: float, f: float, kappa2: float,
+                        nu4w: float, nuw: float, muw: float) -> np.ndarray:
+    """Linear operator of the wave equation (``niwqg/Kernel.py:440-442``)."""
+    c = np.zeros((grid.nl, grid.nk), np.complex128) - 1j * grid.k_np * U
+    c += (
+        -nu4w * grid.wv4_np
+        - 0.5j * f * (grid.wv2_np / kappa2)
+        - nuw * grid.wv2_np
+        - muw
+    )
+    return c
+
+
+def linear_operator_c(grid: Grid, nu4c: float, nuc: float, muc: float) -> np.ndarray:
+    """Linear operator of the passive-scalar equation (``niwqg/QGModel.py:452-453``)."""
+    c = np.zeros((grid.nl, grid.nk), np.complex128)
+    c += -nu4c * grid.wv4_np - nuc * grid.wv2_np - muc
+    return c

@@ -1,0 +1,377 @@
+"""Shared NIW–QG wave kernel: functional ETDRK4 co-evolution of (qh, phih).
+
+This is the TPU-native re-design of the reference's mutable ``Kernel`` god
+object (``niwqg/Kernel.py:9-878``): a frozen :class:`WaveKernel` holding all
+precomputed tables, an immutable :class:`WaveState` pytree, and a pure
+``step(state) -> state`` suitable for ``jax.jit``/``lax.scan``/``shard_map``.
+
+Faithfulness notes (the "numerical contract", SURVEY.md §2):
+  - The four ETDRK4 stage updates and their filter applications replicate
+    ``niwqg/Kernel.py:307-398`` operation-for-operation.
+  - The energy budgets Ke/Pw/Kw are advanced *inside* the step with RK4
+    weights from stage-wise sources (``niwqg/Kernel.py:319-392``).
+  - Stage sources are evaluated from the *carried* derived state (the
+    reference's instance attributes), including the initial-condition quirk
+    where the first step's stage 1 sees the inversion computed by ``set_q``
+    with phi = 0 (``niwqg/Kernel.py:520-551``; see ``apply_set_q``).
+  - Model variants plug in an ``invert`` and ``jac_psi_phi`` strategy
+    instead of subclassing a stateful kernel (SURVEY.md §7 design stance).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..carray import C, jmul, mul_i
+from ..etdrk4 import (ETDRK4Coefs, build_coefs, linear_operator_phi,
+                      linear_operator_q)
+from ..grid import Grid
+from ..ops import spectral
+from ..ops.fft import make_transform
+
+
+@dataclasses.dataclass(frozen=True)
+class KernelParams:
+    """Physical and numerical parameters (reference defaults,
+    ``niwqg/Kernel.py:70-98``)."""
+
+    nx: int = 128
+    L: float = 5e5
+    dt: float = 10000.0
+    tmax: float = 250000.0
+    twrite: int = 1000
+    cflmax: float = 0.8
+    U: float = 0.0
+    f: float = 1.0e-4
+    N: float = 0.01
+    m: float = 0.025
+    g: float = 9.81
+    nu4: float = 0.0
+    nu4w: float = 0.0
+    nu: float = 20.0
+    nuw: float = 50.0
+    mu: float = 0.0
+    muw: float = 0.0
+    use_filter: bool = True
+    dealias: bool = False
+    tdiags: int = 10
+    tsave_snapshots: int = 10
+
+    @property
+    def kappa(self) -> float:
+        return self.m * self.f / self.N
+
+    @property
+    def kappa2(self) -> float:
+        return self.kappa**2
+
+    @property
+    def hslash(self) -> float:
+        return self.f / self.kappa2
+
+
+class Derived(NamedTuple):
+    """Derived fields recomputed after every stage update (the reference's
+    ``phi = ifft(phih); _invert(); _calc_rel_vorticity()`` block plus
+    velocities)."""
+
+    ph: C
+    p: jnp.ndarray
+    q: jnp.ndarray
+    q_psi: jnp.ndarray
+    qwh: C
+    phi: C
+    phix: C
+    phiy: C
+    u: jnp.ndarray
+    v: jnp.ndarray
+
+
+class WaveState(NamedTuple):
+    """Full model state (prognostic + carried derived + budgets + clock)."""
+
+    t: jnp.ndarray
+    tc: jnp.ndarray
+    qh: C
+    phih: C
+    d: Derived
+    Ke: jnp.ndarray
+    Pw: jnp.ndarray
+    Kw: jnp.ndarray
+
+
+class StageSources(NamedTuple):
+    k: jnp.ndarray   # dKe/dt source
+    p: jnp.ndarray   # dPw/dt source
+    a: jnp.ndarray   # dKw/dt source
+    gamma1: jnp.ndarray
+    gamma2: jnp.ndarray
+    xi1: jnp.ndarray
+    xi2: jnp.ndarray
+    pi: jnp.ndarray
+    ep_psi: jnp.ndarray
+    chi_phi: jnp.ndarray
+    ep_phi: jnp.ndarray
+
+
+class WavePhysics:
+    """Model-variant strategy: inversion + wave advection term."""
+
+    name = "wave"
+    zero_mean_jac_psi_phi = True
+
+    def invert(self, K: "WaveKernel", qh: C, phih: C, phi: C) -> Derived:
+        raise NotImplementedError
+
+    def jac_psi_phi(self, K: "WaveKernel", D: Derived, qh: C) -> C:
+        """Default: J(psi, phi) advection by the full geostrophic flow
+        (``niwqg/Kernel.py:457-469``)."""
+        return spectral.jacobian_psi_phi_hat(
+            K.tr, D.u, D.v, D.phix, D.phiy, zero_mean=self.zero_mean_jac_psi_phi
+        )
+
+
+class WaveKernel:
+    """Static configuration + pure step/diagnostic functions."""
+
+    def __init__(self, params: KernelParams, physics: WavePhysics,
+                 dtype=np.float64, backend: str = "auto", precision: str = "auto",
+                 transform=None):
+        self.params = params
+        self.physics = physics
+        self.dtype = np.dtype(dtype)
+        self.grid = Grid(
+            nx=params.nx, L=params.L, dtype=self.dtype, spectrum="full",
+            use_filter=params.use_filter, dealias=params.dealias,
+        ).materialize()
+        if transform is not None:
+            self.tr = transform
+        else:
+            self.tr = make_transform(params.nx, self.dtype, backend,
+                                     precision=precision)
+        # ETDRK4 tables for the q- and phi-equations
+        p = params
+        self.coefs_q = build_coefs(
+            self.grid, linear_operator_q(self.grid, p.U, p.nu4, p.nu, p.mu), p.dt
+        )
+        self.coefs_w = build_coefs(
+            self.grid,
+            linear_operator_phi(self.grid, p.U, p.f, p.kappa2, p.nu4w, p.nuw, p.muw),
+            p.dt,
+        )
+
+    # ------------------------------------------------------------------
+    # scalars
+    # ------------------------------------------------------------------
+    def _s(self, x) -> jnp.ndarray:
+        return jnp.asarray(x, dtype=self.dtype)
+
+    # ------------------------------------------------------------------
+    # derived-state computation (invert + rel. vorticity + velocities)
+    # ------------------------------------------------------------------
+    def derive(self, qh: C, phih: C) -> Derived:
+        phi = self.tr.ifft2(phih)
+        D = self.physics.invert(self, qh, phih, phi)
+        u, v = spectral.velocities(self.tr, self.grid, D.ph)
+        return D._replace(u=u, v=v)
+
+    # ------------------------------------------------------------------
+    # per-stage computation: budget sources + nonlinear terms
+    # ------------------------------------------------------------------
+    def stage_sources(self, qh: C, phih: C, D: Derived) -> StageSources:
+        """Energy conversion & dissipation sources
+        (``niwqg/Kernel.py:629-701``), evaluated on the carried state."""
+        g, p = self.grid, self.params
+        tr = self.tr
+        phi, phix, phiy, q_psi = D.phi, D.phix, D.phiy, D.q_psi
+
+        lapphi = tr.ifft2(phih * (-g.wv2))
+        lap2phi = tr.ifft2(phih * g.wv4)
+
+        J_psi_phi = D.u * phix + D.v * phiy
+        diss_phi = -p.nu4w * lap2phi + p.nuw * lapphi - p.muw * phi
+        J_diss_phi = -(diss_phi * J_psi_phi.conj()).im
+        L_diss_phi = 0.5 * (diss_phi * phi.conj()).re * q_psi
+        divFw = 0.5 * p.hslash * (phi.conj() * lapphi).im
+
+        gamma1 = (0.5 * q_psi * divFw).mean() / p.f
+        gamma2 = 0.5 * p.hslash * ((lapphi.conj() * J_psi_phi).re).mean() / p.f
+        xi1 = J_diss_phi.mean() / p.f
+        xi2 = L_diss_phi.mean() / p.f
+        pi = (0.5 * phi.mean() * (q_psi * phi.conj()).mean()).im
+
+        # ep_psi (``niwqg/Kernel.py:635-640``)
+        lap2psi = tr.ifft2_real(D.ph * g.wv4)
+        lapq = tr.ifft2_real(qh * (-g.wv2))
+        ep_psi = (
+            p.nu4 * (D.q * lap2psi).mean()
+            - p.nu * (D.p * lapq).mean()
+            + p.mu * (D.p * D.q).mean()
+        )
+
+        # chi_phi (``niwqg/Kernel.py:646-652``)
+        lphix = tr.ifft2(mul_i(phih, -g.k * g.wv2))
+        lphiy = tr.ifft2(mul_i(phih, -g.l * g.wv2))
+        k2 = p.kappa2
+        chi_phi = (
+            -0.5 * p.nu4w * (lphix.abs2() + lphiy.abs2()).mean() / k2
+            - 0.5 * p.nuw * lapphi.abs2().mean() / k2
+            - 0.5 * p.muw * (phix.abs2() + phiy.abs2()).mean() / k2
+        )
+
+        # ep_phi (``niwqg/Kernel.py:629-633``)
+        ep_phi = (
+            -p.nu4w * lapphi.abs2().mean()
+            - p.nuw * (phix.abs2() + phiy.abs2()).mean()
+            - p.muw * phi.abs2().mean()
+        )
+
+        k_src = -(gamma1 + gamma2) + (xi1 + xi2) + ep_psi
+        p_src = gamma1 + gamma2 + chi_phi
+        a_src = ep_phi
+        return StageSources(k_src, p_src, a_src, gamma1, gamma2, xi1, xi2, pi,
+                            ep_psi, chi_phi, ep_phi)
+
+    def nonlinear(self, qh: C, D: Derived):
+        """RHS nonlinear terms Fn (q-eq) and Fnw (phi-eq)
+        (``niwqg/Kernel.py:326,332``)."""
+        g = self.grid
+        jacq = spectral.jacobian_psi_q_hat(self.tr, g, D.u, D.v, D.q)
+        Fn = -jacq
+        jacw = self.physics.jac_psi_phi(self, D, qh)
+        refr = jmul(self.tr.fft2(D.phi * D.q_psi), 0.5)  # 0.5j*fft(phi*q_psi)
+        Fnw = -jacw - refr
+        return Fn, Fnw
+
+    # ------------------------------------------------------------------
+    # one ETDRK4 step (``niwqg/Kernel.py:307-398``)
+    # ------------------------------------------------------------------
+    def step(self, s: WaveState) -> WaveState:
+        cq, cw = self.coefs_q, self.coefs_w
+        flt = self.grid.filtr
+        dt = self._s(self.params.dt)
+
+        # -- stage 1 (sources from carried state)
+        src1 = self.stage_sources(s.qh, s.phih, s.d)
+        Fn0, Fn0w = self.nonlinear(s.qh, s.d)
+        qh0, phih0 = s.qh, s.phih
+        qh = (cq.expch_h * qh0 + Fn0 * cq.Qh) * flt
+        phih = (cw.expch_h * phih0 + Fn0w * cw.Qh) * flt
+        qh1, phih1 = qh, phih
+        D = self.derive(qh, phih)
+
+        # -- stage 2
+        src2 = self.stage_sources(qh, phih, D)
+        Fna, Fnaw = self.nonlinear(qh, D)
+        qh = (cq.expch_h * qh0 + Fna * cq.Qh) * flt
+        phih = (cw.expch_h * phih0 + Fnaw * cw.Qh) * flt
+        D = self.derive(qh, phih)
+
+        # -- stage 3
+        src3 = self.stage_sources(qh, phih, D)
+        Fnb, Fnbw = self.nonlinear(qh, D)
+        qh = (cq.expch_h * qh1 + (2.0 * Fnb - Fn0) * cq.Qh) * flt
+        phih = (cw.expch_h * phih1 + (2.0 * Fnbw - Fn0w) * cw.Qh) * flt
+        D = self.derive(qh, phih)
+
+        # -- stage 4 + final combination
+        src4 = self.stage_sources(qh, phih, D)
+        Fnc, Fncw = self.nonlinear(qh, D)
+        qh = (cq.expch * qh0 + Fn0 * cq.f0 + 2.0 * (Fna + Fnb) * cq.fab
+              + Fnc * cq.fc) * flt
+        phih = (cw.expch * phih0 + Fn0w * cw.f0 + 2.0 * (Fnaw + Fnbw) * cw.fab
+                + Fncw * cw.fc) * flt
+
+        Ke = s.Ke + dt * (src1.k + 2.0 * (src2.k + src3.k) + src4.k) / 6.0
+        Pw = s.Pw + dt * (src1.p + 2.0 * (src2.p + src3.p) + src4.p) / 6.0
+        Kw = s.Kw + dt * (src1.a + 2.0 * (src2.a + src3.a) + src4.a) / 6.0
+
+        D = self.derive(qh, phih)
+        return WaveState(
+            t=s.t + dt, tc=s.tc + 1, qh=qh, phih=phih, d=D, Ke=Ke, Pw=Pw, Kw=Kw
+        )
+
+    # ------------------------------------------------------------------
+    # initialization (replicates set_q/set_phi ordering,
+    # ``niwqg/Kernel.py:520-551``)
+    # ------------------------------------------------------------------
+    def zero_state(self) -> WaveState:
+        shape = (self.grid.nl, self.grid.nk)
+        z = C.zeros(shape, self.dtype)
+        r = jnp.zeros(shape, self.dtype)
+        D = Derived(ph=z, p=r, q=r, q_psi=r, qwh=z, phi=z, phix=z, phiy=z,
+                    u=r, v=r)
+        zero = self._s(0.0)
+        return WaveState(t=zero, tc=jnp.asarray(0, jnp.int32), qh=z, phih=z,
+                         d=D, Ke=zero, Pw=zero, Kw=zero)
+
+    def apply_set_q(self, s: WaveState, q) -> WaveState:
+        """``set_q``: transform, invert with the *current* phi (zero right
+        after construction — the reference quirk), compute Ke."""
+        q = jnp.asarray(np.asarray(q, dtype=self.dtype))
+        qh = self.tr.fft2_real(q)
+        D = self.physics.invert(self, qh, s.phih, s.d.phi)
+        u, v = spectral.velocities(self.tr, self.grid, D.ph)
+        # preserve the phi-gradients currently carried (set_phi provides them)
+        D = D._replace(u=u, v=v, phix=s.d.phix, phiy=s.d.phiy, phi=s.d.phi)
+        Ke = self.ke_qg(D.ph)
+        return s._replace(qh=qh, d=D, Ke=Ke)
+
+    def apply_set_phi(self, s: WaveState, phi) -> WaveState:
+        """``set_phi``: transform, compute Pw (which refreshes phix/phiy —
+        the reference stores them, ``niwqg/Kernel.py:608-611``) and Kw."""
+        if isinstance(phi, C):
+            phi_c = phi.astype(self.dtype)
+        else:
+            phi_np = np.asarray(phi)
+            phi_c = C.from_complex(phi_np, dtype=self.dtype)
+        phih = self.tr.fft2(phi_c)
+        phix, phiy = spectral.gradients(self.tr, self.grid, phih)
+        Pw = 0.25 * (phix.abs2() + phiy.abs2()).mean() / self.params.kappa2
+        Kw = 0.5 * phi_c.abs2().mean()
+        D = s.d._replace(phi=phi_c, phix=phix, phiy=phiy)
+        return s._replace(phih=phih, d=D, Pw=Pw, Kw=Kw)
+
+    # ------------------------------------------------------------------
+    # energy / diagnostic scalars (``niwqg/Kernel.py:600-706``)
+    # ------------------------------------------------------------------
+    def spec_var(self, zh: C):
+        return self.grid.spec_var(zh)
+
+    def ke_qg(self, ph: C):
+        return 0.5 * self.spec_var(ph * self.grid.wv)
+
+    def ke_niw(self, phi: C):
+        return 0.5 * phi.abs2().mean()
+
+    def pe_niw(self, phih: C):
+        phix, phiy = spectral.gradients(self.tr, self.grid, phih)
+        return 0.25 * (phix.abs2() + phiy.abs2()).mean() / self.params.kappa2
+
+    def cke_niw(self, phi: C):
+        m = phi.mean()
+        return 0.5 * m.abs2()
+
+    def ens(self, q):
+        return 0.5 * (q * q).mean()
+
+    def conc_niw(self, phi: C, q_psi):
+        ups = phi.abs2()
+        ups = ups - ups.mean()
+        return (ups * q_psi).mean() / jnp.std(ups) / jnp.std(q_psi)
+
+    def skewness(self, q_psi):
+        return (q_psi**3).mean() / ((q_psi**2).mean()) ** 1.5
+
+    def chi_q(self, qh: C):
+        return -self.params.nu4 * self.spec_var(qh * self.grid.wv2)
+
+    def cfl(self, s: WaveState):
+        phimax = jnp.sqrt(s.d.phi.abs2().max())
+        return spectral.cfl_number(s.d.u, s.d.v, phimax, self.params.dt,
+                                   self.grid.dx)

@@ -1,0 +1,286 @@
+"""Standalone barotropic QG model with beta and an optional passive scalar.
+
+Re-design of ``niwqg/QGModel.py`` on the shared spectral substrate — the
+reference implements this as a copy-paste fork of ``Kernel`` (SURVEY.md §1
+wart); here it is the same grid/transform/ETDRK4 machinery in the
+half-spectrum (real-FFT) layout ``nk = nx//2+1`` (``QGModel.py:244-249``).
+
+Faithfulness notes:
+  - the stage structure follows ``QGModel.py:328-408``: budget sources
+    ``k1..k4`` are evaluated *after* each stage's inversion (unlike the wave
+    kernel, which samples before the update), and ``k1..k3`` use the stale
+    physical ``q`` from the step start while ``k4`` uses the fresh one;
+  - the passive-scalar variance budget ``cvar`` integrates stage sources
+    ``c1..c4`` with RK4 weights (``QGModel.py:345-394``);
+  - ``_calc_ep_c``/``_calc_chi_c`` use the *vorticity* diffusivity
+    ``self.nu`` in their middle term (``QGModel.py:597,603``) — reproduced
+    literally (it only matters when ``nu != 0``);
+  - the QG Jacobian does not zero the spectral mean mode
+    (``QGModel.py:469-481``), unlike the wave kernel's.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..carray import C, mul_i
+from ..etdrk4 import (build_coefs, linear_operator_c, linear_operator_q)
+from ..grid import Grid
+from ..ops.fft import make_transform
+
+
+@dataclasses.dataclass(frozen=True)
+class QGParams:
+    """Reference defaults, ``niwqg/QGModel.py:65-91``."""
+
+    nx: int = 128
+    L: float = 5e5
+    dt: float = 10000.0
+    tmax: float = 250000.0
+    twrite: int = 1000
+    cflmax: float = 0.5
+    U: float = 0.0
+    beta: float = 0.0
+    nu4: float = 5.0e9
+    nu: float = 0.0
+    mu: float = 0.0
+    passive_scalar: bool = False
+    nu4c: float = 5.0e9
+    nuc: float = 0.0
+    muc: float = 0.0
+    use_filter: bool = True
+    dealias: bool = False
+    tdiags: int = 10
+    tsave_snapshots: int = 10
+
+
+class QGState(NamedTuple):
+    t: jnp.ndarray
+    tc: jnp.ndarray
+    qh: C
+    ch: C
+    ph: C
+    p: jnp.ndarray
+    q: jnp.ndarray
+    c: jnp.ndarray
+    u: jnp.ndarray
+    v: jnp.ndarray
+    Ke: jnp.ndarray
+    cvar: jnp.ndarray
+
+
+class QGKernel:
+    """Static config + pure step for the standalone QG model."""
+
+    def __init__(self, params: QGParams, dtype=np.float64,
+                 backend: str = "auto", precision: str = "auto",
+                 transform=None):
+        self.params = params
+        self.dtype = np.dtype(dtype)
+        self.grid = Grid(
+            nx=params.nx, L=params.L, dtype=self.dtype, spectrum="half",
+            use_filter=params.use_filter, dealias=params.dealias,
+        ).materialize()
+        if transform is not None:
+            self.tr = transform
+        else:
+            self.tr = make_transform(params.nx, self.dtype, backend,
+                                     precision=precision)
+        p = params
+        self.coefs_q = build_coefs(
+            self.grid,
+            linear_operator_q(self.grid, p.U, p.nu4, p.nu, p.mu, beta=p.beta),
+            p.dt,
+        )
+        self.coefs_c = build_coefs(
+            self.grid, linear_operator_c(self.grid, p.nu4c, p.nuc, p.muc), p.dt
+        ) if p.passive_scalar else None
+
+    def _s(self, x):
+        return jnp.asarray(x, dtype=self.dtype)
+
+    # -- spectral helpers (half-spectrum layout) ---------------------------
+    def spec_var(self, zh: C):
+        return self.grid.spec_var(zh)
+
+    def _velocities(self, ph: C):
+        u = self.tr.irfft2(mul_i(ph, -self.grid.l))
+        v = self.tr.irfft2(mul_i(ph, self.grid.k))
+        return u, v
+
+    def _jacobian_hat(self, u, v, field):
+        """ik*rfft(u*f) + il*rfft(v*f) — no mean-mode zeroing
+        (``QGModel.py:469-481``)."""
+        g = self.grid
+        return mul_i(self.tr.rfft2(u * field), g.k) + mul_i(
+            self.tr.rfft2(v * field), g.l
+        )
+
+    def _invert(self, qh: C):
+        ph = -(qh * self.grid.wv2i)
+        p = self.tr.irfft2(ph)
+        return ph, p
+
+    def ep_psi(self, q, p, qh: C, ph: C):
+        """``QGModel.py:588-593``."""
+        g, pr = self.grid, self.params
+        lap2psi = self.tr.irfft2(ph * g.wv4)
+        lapq = self.tr.irfft2(-(qh * g.wv2))
+        return (
+            pr.nu4 * (q * lap2psi).mean()
+            - pr.nu * (p * lapq).mean()
+            + pr.mu * (p * q).mean()
+        )
+
+    def _scalar_derived(self, ch: C, u, v):
+        """C2, gradC2, lapc, Gamma_c (``QGModel.py:724-737``)."""
+        g = self.grid
+        C2 = self.spec_var(ch)
+        gradC2 = self.spec_var(ch * g.wv)
+        lapc = self.tr.irfft2(-(ch * g.wv2))
+        c = self.tr.irfft2(ch)
+        jac_c = self._jacobian_hat(u, v, c)
+        Gamma_c = 2.0 * (lapc * self.tr.irfft2(jac_c)).mean()
+        return C2, gradC2, lapc, Gamma_c
+
+    def ep_c(self, C2, gradC2, lapc):
+        """``QGModel.py:595-598`` (middle term uses ``nu``, not ``nuc``)."""
+        pr = self.params
+        return (
+            -2.0 * pr.nu4c * (lapc**2).mean()
+            - 2.0 * pr.nu * gradC2
+            - 2.0 * pr.muc * C2
+        )
+
+    def chi_c(self, ch: C, gradC2, lapc):
+        """``QGModel.py:600-604``."""
+        g, pr = self.grid, self.params
+        lap2c = self.tr.irfft2(ch * g.wv4)
+        return (
+            2.0 * pr.nu4c * (lap2c * lapc).mean()
+            - 2.0 * pr.nu * (lapc**2).mean()
+            - 2.0 * pr.muc * gradC2
+        )
+
+    def chi_q(self, qh: C):
+        return -self.params.nu4 * self.spec_var(qh * self.grid.wv2)
+
+    def ke_qg(self, ph: C):
+        return 0.5 * self.spec_var(ph * self.grid.wv)
+
+    # -- one ETDRK4 step (``QGModel.py:328-408``) --------------------------
+    def step(self, s: QGState) -> QGState:
+        pr = self.params
+        cq = self.coefs_q
+        flt = self.grid.filtr
+        dt = self._s(pr.dt)
+        scalar = pr.passive_scalar
+
+        def q_jac(ph, qh):
+            u, v = self._velocities(ph)
+            q = self.tr.irfft2(qh)
+            return self._jacobian_hat(u, v, q), u, v
+
+        # stage 1
+        qh0, ch0 = s.qh, s.ch
+        jac, u, v = q_jac(s.ph, s.qh)
+        Fn0 = -jac
+        qh = (cq.expch_h * qh0 + Fn0 * cq.Qh) * flt
+        qh1 = qh
+        if scalar:
+            cc = self.coefs_c
+            c = self.tr.irfft2(ch0)
+            Fn0c = -self._jacobian_hat(u, v, c)
+            ch = (cc.expch_h * ch0 + Fn0c * cc.Qh) * flt
+            ch1 = ch
+            C2, gradC2, lapc, _ = self._scalar_derived(ch, u, v)
+            c1 = self.ep_c(C2, gradC2, lapc)
+        else:
+            ch = ch0
+        ph, p = self._invert(qh)
+        k1 = self.ep_psi(s.q, p, qh, ph)
+
+        # stage 2
+        jac, u, v = q_jac(ph, qh)
+        Fna = -jac
+        qh = (cq.expch_h * qh0 + Fna * cq.Qh) * flt
+        if scalar:
+            cphys = self.tr.irfft2(ch)
+            Fnac = -self._jacobian_hat(u, v, cphys)
+            ch = (cc.expch_h * ch0 + Fnac * cc.Qh) * flt
+            C2, gradC2, lapc, _ = self._scalar_derived(ch, u, v)
+            c2 = self.ep_c(C2, gradC2, lapc)
+        ph, p = self._invert(qh)
+        k2 = self.ep_psi(s.q, p, qh, ph)
+
+        # stage 3
+        jac, u, v = q_jac(ph, qh)
+        Fnb = -jac
+        qh = (cq.expch_h * qh1 + (2.0 * Fnb - Fn0) * cq.Qh) * flt
+        if scalar:
+            cphys = self.tr.irfft2(ch)
+            Fnbc = -self._jacobian_hat(u, v, cphys)
+            ch = (cc.expch_h * ch1 + (2.0 * Fnbc - Fn0c) * cc.Qh) * flt
+            C2, gradC2, lapc, _ = self._scalar_derived(ch, u, v)
+            c3 = self.ep_c(C2, gradC2, lapc)
+        ph, p = self._invert(qh)
+        k3 = self.ep_psi(s.q, p, qh, ph)
+
+        # stage 4 + final combination
+        jac, u, v = q_jac(ph, qh)
+        Fnc = -jac
+        qh = (cq.expch * qh0 + Fn0 * cq.f0 + 2.0 * (Fna + Fnb) * cq.fab
+              + Fnc * cq.fc) * flt
+        cvar = s.cvar
+        if scalar:
+            cphys = self.tr.irfft2(ch)
+            Fncc = -self._jacobian_hat(u, v, cphys)
+            ch = (cc.expch * ch0 + Fn0c * cc.f0 + 2.0 * (Fnac + Fnbc) * cc.fab
+                  + Fncc * cc.fc) * flt
+            C2, gradC2, lapc, _ = self._scalar_derived(ch, u, v)
+            c4 = self.ep_c(C2, gradC2, lapc)
+            cvar = s.cvar + dt * (c1 + 2.0 * (c2 + c3) + c4) / 6.0
+
+        ph, p = self._invert(qh)
+        q = self.tr.irfft2(qh)
+        cphys = self.tr.irfft2(ch) if scalar else s.c
+        k4 = self.ep_psi(q, p, qh, ph)
+        Ke = s.Ke + dt * (k1 + 2.0 * (k2 + k3) + k4) / 6.0
+
+        return QGState(t=s.t + dt, tc=s.tc + 1, qh=qh, ch=ch, ph=ph, p=p,
+                       q=q, c=cphys, u=u, v=v, Ke=Ke, cvar=cvar)
+
+    # -- initialization ----------------------------------------------------
+    def zero_state(self) -> QGState:
+        shape_r = (self.grid.ny, self.grid.nx)
+        shape_h = (self.grid.nl, self.grid.nk)
+        z = C.zeros(shape_h, self.dtype)
+        r = jnp.zeros(shape_r, self.dtype)
+        zero = self._s(0.0)
+        return QGState(t=zero, tc=jnp.asarray(0, jnp.int32), qh=z, ch=z,
+                       ph=z, p=r, q=r, c=r, u=r, v=r, Ke=zero, cvar=zero)
+
+    def apply_set_q(self, s: QGState, q) -> QGState:
+        """``QGModel.set_q`` (``QGModel.py:507-520``)."""
+        q = jnp.asarray(np.asarray(q, dtype=self.dtype))
+        qh = self.tr.rfft2(q)
+        ph, p = self._invert(qh)
+        Ke = self.ke_qg(ph)
+        return s._replace(qh=qh, ph=ph, p=p, q=q, Ke=Ke)
+
+    def apply_set_c(self, s: QGState, c) -> QGState:
+        """``QGModel.set_c`` (``QGModel.py:522-534``)."""
+        c = jnp.asarray(np.real(np.asarray(c)).astype(self.dtype))
+        ch = self.tr.rfft2(c)
+        cvar = self.spec_var(ch)
+        return s._replace(ch=ch, c=c, cvar=cvar)
+
+    def cfl(self, s: QGState):
+        u, v = self._velocities(s.ph)
+        m = jnp.maximum(jnp.abs(u).max(), jnp.abs(v).max())
+        return m * self.params.dt / (self.grid.dx)

@@ -1,0 +1,34 @@
+"""Uncoupled (YBJ waves on an evolving QG flow) physics.
+
+Re-design of ``niwqg/UnCoupledModel.py``: plain inversion
+``p = ifft(-qh/wv2)`` (``UnCoupledModel.py:54-64``); waves are refracted and
+advected by the flow but exert no feedback (``q_psi = q``,
+``niwqg/Kernel.py:492-501``).
+
+Intentional fix over the reference: the reference only refreshes the wave
+gradients ``phix/phiy`` when a diagnostic routine happens to run
+(``_calc_pe_niw``, ``niwqg/Kernel.py:608-611`` — every ``tdiags``/``twrite``
+steps), so its uncoupled advection term uses stale gradients. Here the
+gradients are recomputed from the current ``phih`` at every stage, which is
+the intended Young & Ben Jelloul physics.
+"""
+
+from __future__ import annotations
+
+from ..carray import C
+from ..ops import spectral
+from .kernel import Derived, WaveKernel, WavePhysics
+
+
+class UnCoupledPhysics(WavePhysics):
+    name = "Uncoupled Model"
+
+    def invert(self, K: WaveKernel, qh: C, phih: C, phi: C) -> Derived:
+        g, tr = K.grid, K.tr
+        phix, phiy = spectral.gradients(tr, g, phih)
+        psi = tr.ifft2_real(-(qh * g.wv2i))
+        ph = tr.fft2_real(psi)
+        q = tr.ifft2_real(qh)
+        qwh = C.zeros(qh.shape, qh.dtype)
+        return Derived(ph=ph, p=psi, q=q, q_psi=q, qwh=qwh, phi=phi,
+                       phix=phix, phiy=phiy, u=q, v=q)  # u,v filled by caller

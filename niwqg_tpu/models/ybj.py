@@ -1,0 +1,103 @@
+"""YBJ model: NIW phi evolving on a prescribed, frozen QG streamfunction.
+
+Re-design of ``niwqg/YBJModel.py`` (Young & Ben Jelloul 1997): only the
+phi-equation is stepped (``YBJModel.py:52-87``); ``q``, ``psi``, ``u``,
+``v`` and ``q_psi`` are frozen at their ``set_q`` values; the inversion sets
+``ph = -qh/wv2`` only (``YBJModel.py:141-146``); the wave Jacobian does not
+zero the mean mode (``YBJModel.py:123-133``); no energy budgets are
+integrated in the step (Ke/Pw/Kw stay at their initialisation values).
+
+Reference quirk, reproduced when ``faithful_quirks=True`` (default): the
+physical ``phi`` entering the refraction term is only refreshed at the *end*
+of a step (``YBJModel.py:87``), so all four stages use the step-start
+``phi`` while the gradients ``phix/phiy`` are recomputed per stage
+(``YBJModel.py:64,70,75,81``). With ``faithful_quirks=False`` the refraction
+uses the stage-consistent ``phi = ifft(phih)``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..carray import C, jmul
+from ..etdrk4 import build_coefs, linear_operator_phi
+from ..ops import spectral
+from .kernel import Derived, KernelParams, WaveKernel, WavePhysics, WaveState
+
+
+class YBJPhysics(WavePhysics):
+    name = "YBJ Model (Steady QG flow)"
+    zero_mean_jac_psi_phi = False
+
+    def invert(self, K: WaveKernel, qh: C, phih: C, phi: C) -> Derived:
+        g, tr = K.grid, K.tr
+        ph = -(qh * g.wv2i)
+        phix, phiy = spectral.gradients(tr, g, phih)
+        q = tr.ifft2_real(qh)
+        zero = jnp.zeros(qh.shape, qh.dtype)
+        qwh = C.zeros(qh.shape, qh.dtype)
+        return Derived(ph=ph, p=zero, q=q, q_psi=q, qwh=qwh, phi=phi,
+                       phix=phix, phiy=phiy, u=q, v=q)
+
+
+class YBJKernel(WaveKernel):
+    """Wave-only ETDRK4 stepper on a frozen flow."""
+
+    def __init__(self, params: KernelParams, faithful_quirks: bool = True,
+                 dtype=np.float64, backend: str = "auto", precision: str = "auto",
+                 transform=None):
+        super().__init__(params, YBJPhysics(), dtype=dtype, backend=backend,
+                         precision=precision, transform=transform)
+        self.faithful_quirks = faithful_quirks
+
+    def _ybj_nonlinear(self, phih: C, phi: C, s: WaveState):
+        """-J(psi,phi)hat - 0.5j*fft(phi*q_psi) with frozen u,v,q_psi."""
+        g, tr = self.grid, self.tr
+        phix, phiy = spectral.gradients(tr, g, phih)
+        jacw = spectral.jacobian_psi_phi_hat(tr, s.d.u, s.d.v, phix, phiy,
+                                             zero_mean=False)
+        refr = jmul(tr.fft2(phi * s.d.q_psi), 0.5)
+        return -jacw - refr
+
+    def step(self, s: WaveState) -> WaveState:
+        cw = self.coefs_w
+        flt = self.grid.filtr
+        dt = self._s(self.params.dt)
+
+        def stage_phi(phih):
+            if self.faithful_quirks:
+                return s.d.phi
+            return self.tr.ifft2(phih)
+
+        phih0 = s.phih
+        Fn0w = self._ybj_nonlinear(phih0, stage_phi(phih0), s)
+        phih = (cw.expch_h * phih0 + Fn0w * cw.Qh) * flt
+        phih1 = phih
+
+        Fnaw = self._ybj_nonlinear(phih, stage_phi(phih), s)
+        phih = (cw.expch_h * phih0 + Fnaw * cw.Qh) * flt
+
+        Fnbw = self._ybj_nonlinear(phih, stage_phi(phih), s)
+        phih = (cw.expch_h * phih1 + (2.0 * Fnbw - Fn0w) * cw.Qh) * flt
+
+        Fncw = self._ybj_nonlinear(phih, stage_phi(phih), s)
+        phih = (cw.expch * phih0 + Fn0w * cw.f0 + 2.0 * (Fnaw + Fnbw) * cw.fab
+                + Fncw * cw.fc) * flt
+
+        phi = self.tr.ifft2(phih)
+        phix, phiy = spectral.gradients(self.tr, self.grid, phih)
+        D = s.d._replace(phi=phi, phix=phix, phiy=phiy)
+        return s._replace(t=s.t + dt, tc=s.tc + 1, phih=phih, d=D)
+
+    def apply_set_q(self, s: WaveState, q) -> WaveState:
+        """Frozen-flow setup (``Kernel.set_q`` with YBJ ``_invert``)."""
+        q = jnp.asarray(np.asarray(q, dtype=self.dtype))
+        qh = self.tr.fft2_real(q)
+        ph = -(qh * self.grid.wv2i)
+        u, v = spectral.velocities(self.tr, self.grid, ph)
+        D = s.d._replace(ph=ph, q=q, q_psi=q, u=u, v=v)
+        Ke = self.ke_qg(ph)
+        return s._replace(qh=qh, d=D, Ke=Ke)

@@ -1,0 +1,236 @@
+"""2-D Fourier transform providers.
+
+Two interchangeable backends, both operating on :class:`~niwqg_tpu.carray.C`
+re/im pairs with arbitrary leading batch axes ``(..., ny, nx)``:
+
+``NativeTransform``
+    Thin wrapper over ``jnp.fft`` (pocketfft on CPU). Used for the float64
+    CPU path: parity tests against the reference NumPy solver
+    (``niwqg/Kernel.py:553-566`` binds ``np.fft.fft2/ifft2``;
+    ``niwqg/QGModel.py:551-552`` binds ``rfft2/irfft2``).
+
+``MXUTransform``
+    TPU-native path. The target TPU backend exposes no complex dtype and no
+    FFT op, so the DFT is evaluated as dense matrix products riding the MXU:
+    ``Zh = F @ Z @ F`` with the symmetric DFT matrix ``F[a,b] =
+    exp(-2*pi*i*a*b/n)``. Complex algebra is expanded into real matmuls.
+    Because the MXU's native f32 matmul on this backend is bf16-grade, the
+    default ``precision='split'`` mode splits each operand into
+    bf16 hi/lo parts and recovers ~f32 accuracy with 3 matmuls
+    (Ootomo-style error-free-ish transformation).
+
+Both support the half-spectrum (real-input) layout used by the standalone
+QG model via Hermitian expansion.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..carray import C
+
+
+# ----------------------------------------------------------------------
+# native (jnp.fft) provider
+# ----------------------------------------------------------------------
+class NativeTransform:
+    """jnp.fft-backed transforms (CPU/GPU; complex dtype required)."""
+
+    def __init__(self, nx: int, dtype=np.float64):
+        self.nx = nx
+        self.dtype = np.dtype(dtype)
+        self.nk_half = nx // 2 + 1
+
+    def _c(self, z: C):
+        return jax.lax.complex(z.re, z.im)
+
+    def fft2(self, z: C) -> C:
+        zh = jnp.fft.fft2(self._c(z))
+        return C(jnp.real(zh), jnp.imag(zh))
+
+    def ifft2(self, zh: C) -> C:
+        z = jnp.fft.ifft2(self._c(zh))
+        return C(jnp.real(z), jnp.imag(z))
+
+    def fft2_real(self, x) -> C:
+        """Full-spectrum transform of a real field."""
+        zh = jnp.fft.fft2(x.astype(self._cplx()))
+        return C(jnp.real(zh), jnp.imag(zh))
+
+    def ifft2_real(self, zh: C):
+        """Real part of the inverse transform."""
+        return jnp.real(jnp.fft.ifft2(self._c(zh)))
+
+    def rfft2(self, x) -> C:
+        zh = jnp.fft.rfft2(x)
+        return C(jnp.real(zh), jnp.imag(zh))
+
+    def irfft2(self, zh: C):
+        return jnp.fft.irfft2(self._c(zh), s=(zh.re.shape[-2], self.nx))
+
+    def _cplx(self):
+        return np.complex128 if self.dtype == np.float64 else np.complex64
+
+
+# ----------------------------------------------------------------------
+# MXU (matmul-DFT) provider
+# ----------------------------------------------------------------------
+def _split_bf16(a):
+    """Split an f32 array into bf16 (hi, lo) with a + 0 ≈ hi + lo."""
+    hi = a.astype(jnp.bfloat16)
+    lo = (a - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, lo
+
+
+def _mm_split(a, b_hi, b_lo):
+    """a @ b with bf16 hi/lo split of both operands (3 MXU passes).
+
+    ``b`` is pre-split (constant DFT matrix). Accumulation in f32 via
+    preferred_element_type. Recovered accuracy ~1e-7 relative vs the
+    backend's native bf16-grade f32 matmul (~2.5e-3).
+    """
+    a_hi, a_lo = _split_bf16(a)
+    f32 = jnp.float32
+    hi = jnp.dot(a_hi, b_hi, preferred_element_type=f32)
+    mid = jnp.dot(a_hi, b_lo, preferred_element_type=f32) + jnp.dot(
+        a_lo, b_hi, preferred_element_type=f32
+    )
+    return hi + mid
+
+
+def _mm_fast(a, b_hi, b_lo):
+    """Single-pass matmul (device-native precision)."""
+    del b_lo
+    return jnp.dot(a.astype(jnp.bfloat16), b_hi, preferred_element_type=jnp.float32)
+
+
+def _mm_f32(a, b_hi, b_lo):
+    """Plain f32 dot — true f32 on CPU, bf16-grade on this TPU backend."""
+    del b_lo
+    return jnp.dot(a, b_hi.astype(a.dtype) if b_hi.dtype != a.dtype else b_hi,
+                   preferred_element_type=a.dtype)
+
+
+class MXUTransform:
+    """Dense-DFT transforms as real matmuls for complex-free TPU backends.
+
+    2-D forward: ``Zh = F @ Z @ F`` (F symmetric). Inverse uses
+    ``G = conj(F)/n`` on both sides. Leading batch axes are flattened into
+    the matmul row dimension so a batched transform is one big matmul.
+    """
+
+    def __init__(self, nx: int, dtype=np.float32, precision: str = "auto"):
+        self.nx = nx
+        self.dtype = np.dtype(dtype)
+        self.nk_half = nx // 2 + 1
+        if precision == "auto":
+            # f64/CPU: plain dot is exact enough; f32/TPU: recover via split
+            precision = "split" if self.dtype == np.float32 else "f32"
+        self.precision = precision
+        self._mm = {"split": _mm_split, "fast": _mm_fast, "f32": _mm_f32}[precision]
+
+        a = np.arange(nx)
+        theta = -2.0 * np.pi * np.outer(a, a) / nx  # forward sign convention
+        F = np.exp(1j * theta)
+        G = np.conj(F) / nx  # inverse, 1/n folded per axis
+        self._Fr = self._const(F.real)
+        self._Fi = self._const(F.imag)
+        self._Gr = self._const(G.real)
+        self._Gi = self._const(G.imag)
+
+    def _const(self, m: np.ndarray):
+        m = jnp.asarray(m.astype(self.dtype))
+        if self.precision in ("split", "fast"):
+            return _split_bf16(m)
+        return (m, None)
+
+    # -- core complex matmul on the last axis ------------------------------
+    def _right_mul(self, z: C, M) -> C:
+        """(z @ M) for complex z pair and complex constant M=(Mr, Mi)."""
+        Mr, Mi = M
+        mm = self._mm
+        re = mm(z.re, *Mr) - mm(z.im, *Mi)
+        im = mm(z.re, *Mi) + mm(z.im, *Mr)
+        return C(re, im)
+
+    def _apply_last(self, z: C, M) -> C:
+        return self._right_mul(z, M)
+
+    def _apply_secondlast(self, z: C, M) -> C:
+        # F @ Z along axis -2 == (Z^T @ F^T)^T ; F symmetric.
+        zt = C(jnp.swapaxes(z.re, -1, -2), jnp.swapaxes(z.im, -1, -2))
+        out = self._right_mul(zt, M)
+        return C(jnp.swapaxes(out.re, -1, -2), jnp.swapaxes(out.im, -1, -2))
+
+    def _flatten_mm(self, z: C, M) -> C:
+        """Right-multiply with leading axes flattened into rows."""
+        shape = z.re.shape
+        if len(shape) > 2:
+            flat = C(z.re.reshape(-1, shape[-1]), z.im.reshape(-1, shape[-1]))
+            out = self._right_mul(flat, M)
+            n_out = out.re.shape[-1]
+            return C(
+                out.re.reshape(shape[:-1] + (n_out,)),
+                out.im.reshape(shape[:-1] + (n_out,)),
+            )
+        return self._right_mul(z, M)
+
+    # -- public API --------------------------------------------------------
+    def fft2(self, z: C) -> C:
+        F = (self._Fr, self._Fi)
+        z = self._flatten_mm(z, F)          # along x
+        z = self._apply_secondlast(z, F)    # along y
+        return z
+
+    def ifft2(self, zh: C) -> C:
+        G = (self._Gr, self._Gi)
+        zh = self._flatten_mm(zh, G)
+        zh = self._apply_secondlast(zh, G)
+        return zh
+
+    def fft2_real(self, x) -> C:
+        return self.fft2(C(x, jnp.zeros_like(x)))
+
+    def ifft2_real(self, zh: C):
+        return self.ifft2(zh).re
+
+    def rfft2(self, x) -> C:
+        full = self.fft2_real(x)
+        return C(full.re[..., : self.nk_half], full.im[..., : self.nk_half])
+
+    def _hermitian_expand(self, zh: C) -> C:
+        """Half spectrum (ny, nx//2+1) -> full (ny, nx) via conj symmetry."""
+        tail = C(zh.re[..., 1 : self.nx // 2], zh.im[..., 1 : self.nx // 2])
+        tail = C(jnp.flip(tail.re, axis=-1), jnp.flip(tail.im, axis=-1))
+        tail = C(
+            jnp.roll(jnp.flip(tail.re, axis=-2), 1, axis=-2),
+            jnp.roll(jnp.flip(tail.im, axis=-2), 1, axis=-2),
+        )
+        return C(
+            jnp.concatenate([zh.re, tail.re], axis=-1),
+            jnp.concatenate([zh.im, -tail.im], axis=-1),
+        )
+
+    def irfft2(self, zh: C):
+        return self.ifft2(self._hermitian_expand(zh)).re
+
+
+def make_transform(nx: int, dtype, backend: str = "auto", precision: str = "auto"):
+    """Pick a transform provider.
+
+    ``backend='auto'`` selects MXU on TPU-like platforms (no complex
+    support) and native FFT elsewhere.
+    """
+    if backend == "auto":
+        plat = jax.default_backend()
+        backend = "mxu" if plat not in ("cpu", "gpu", "cuda", "rocm") else "native"
+    if backend == "native":
+        return NativeTransform(nx, dtype)
+    if backend == "mxu":
+        return MXUTransform(nx, dtype, precision=precision)
+    raise ValueError(f"unknown transform backend {backend!r}")

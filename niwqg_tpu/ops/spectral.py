@@ -1,0 +1,71 @@
+"""Spectral-space operator helpers shared by all models.
+
+Pure functions over :class:`~niwqg_tpu.carray.C` pairs. The pseudospectral
+products (Jacobians) follow the reference formulations:
+``jacobian_psi_q`` (``niwqg/Kernel.py:471-486``), ``jacobian_psi_phi``
+(``niwqg/Kernel.py:457-469``), ``jacobian_phic_phi``
+(``niwqg/CoupledModel.py:59-73``).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..carray import C, jmul, mul_i
+
+
+def zero_mean_mode(zh: C) -> C:
+    """Zero the (0,0) spectral coefficient (``niwqg/Kernel.py:468,484``)."""
+    return C(zh.re.at[..., 0, 0].set(0.0), zh.im.at[..., 0, 0].set(0.0))
+
+
+def velocities(tr, grid, ph: C):
+    """u = ifft(-il*ph).real, v = ifft(ik*ph).real (``niwqg/Kernel.py:481``)."""
+    u = tr.ifft2_real(mul_i(ph, -grid.l))
+    v = tr.ifft2_real(mul_i(ph, grid.k))
+    return u, v
+
+
+def jacobian_psi_q_hat(tr, grid, u, v, q, zero_mean: bool = True) -> C:
+    """fft of J(psi, q) = ik*fft(u q) + il*fft(v q)."""
+    jach = mul_i(tr.fft2_real(u * q), grid.k) + mul_i(tr.fft2_real(v * q), grid.l)
+    if zero_mean:
+        jach = zero_mean_mode(jach)
+    return jach
+
+
+def jacobian_psi_phi_hat(tr, u, v, phix: C, phiy: C, zero_mean: bool = True) -> C:
+    """fft of u*phix + v*phiy for complex phi gradients."""
+    jach = tr.fft2(u * phix + v * phiy)
+    if zero_mean:
+        jach = zero_mean_mode(jach)
+    return jach
+
+
+def gradients(tr, grid, zh: C):
+    """(d/dx, d/dy) of a complex field from its transform."""
+    zx = tr.ifft2(mul_i(zh, grid.k))
+    zy = tr.ifft2(mul_i(zh, grid.l))
+    return zx, zy
+
+
+def wave_pv_hat(tr, grid, f: float, phi: C, phix: C, phiy: C) -> C:
+    """Wave potential vorticity qwh = 0.5*(0.5*gphi2h + J(phi*,phi)hat)/f.
+
+    gphi2h = -wv2 * fft(|phi|^2); the Jacobian term is
+    fft((1j*(conj(phix)*phiy - conj(phiy)*phix)).real) with the mean mode
+    zeroed (``niwqg/CoupledModel.py:75-88``). The filter is applied by the
+    caller to match the reference's ``qwh *= self.filtr``.
+    """
+    gphi2h = tr.fft2_real(phi.abs2()) * (-grid.wv2)
+    z = phix.conj() * phiy - phiy.conj() * phix
+    jac_real = jmul(z).re  # (1j*z).real
+    jach = zero_mean_mode(tr.fft2_real(jac_real))
+    return (0.5 * gphi2h + jach) * 0.5 / f
+
+
+def cfl_number(u, v, phi_abs_max, dt: float, dx: float):
+    """CFL from max(|u|,|v|,|phi|) (``niwqg/Kernel.py:660-662``)."""
+    m = jnp.maximum(jnp.abs(u).max(), jnp.abs(v).max())
+    m = jnp.maximum(m, phi_abs_max)
+    return m * dt / dx

@@ -1,0 +1,106 @@
+"""Substrate tests: FFT round-trip and Parseval identity.
+
+Port of the reference test family (``niwqg/tests/test_fft.py``), extended
+with cross-checks of the MXU matmul-DFT provider against the native FFT.
+"""
+
+import numpy as np
+import pytest
+
+from niwqg_tpu import CoupledModel, QGModel
+from niwqg_tpu.carray import C
+from niwqg_tpu.ops.fft import MXUTransform, NativeTransform
+
+
+def relative_error(var1, var2):
+    diffvar = np.abs(var1 - var2)
+    return max(diffvar / var1, diffvar / var2).real
+
+
+class TestQGNIWFFT:
+    """Full complex-FFT layout (``tests/test_fft.py:12-41``)."""
+
+    def setup_method(self):
+        self.m = CoupledModel.Model(use_filter=False)
+        rng = np.random.default_rng(42)
+        self.qi = rng.standard_normal((self.m.ny, self.m.nx))
+        self.phii = rng.standard_normal((self.m.ny, self.m.nx)) + 1j * rng.standard_normal((self.m.ny, self.m.nx))
+
+    def test_forward_backward(self, rtol=1e-15):
+        tr = self.m.kernel.tr
+        qn = tr.ifft2_real(tr.fft2_real(np.asarray(self.qi)))
+        phin = tr.ifft2(tr.fft2(C.from_complex(self.phii))).to_complex()
+        assert np.allclose(np.asarray(qn), self.qi, rtol=rtol)
+        assert np.allclose(phin, self.phii, rtol=rtol)
+
+    def test_parseval(self, rtol=1e-15):
+        self.m.set_q(self.qi)
+        var_q_spec = float(np.asarray(self.m.kernel.spec_var(self.m.state.qh)))
+        assert relative_error(var_q_spec, self.qi.var()) < rtol
+
+        self.m.set_phi(self.phii)
+        var_phi_spec = float(np.asarray(self.m.kernel.spec_var(self.m.state.phih)))
+        assert relative_error(var_phi_spec, self.phii.var()) < rtol
+
+
+class TestQGFFT:
+    """Half-spectrum (rfft) layout (``tests/test_fft.py:43-62``)."""
+
+    def setup_method(self):
+        self.m = QGModel.Model(use_filter=False)
+        rng = np.random.default_rng(43)
+        self.qi = rng.standard_normal((self.m.ny, self.m.nx))
+
+    def test_forward_backward(self, rtol=1e-15):
+        tr = self.m.kernel.tr
+        qn = tr.irfft2(tr.rfft2(np.asarray(self.qi)))
+        assert np.allclose(np.asarray(qn), self.qi, rtol=rtol)
+
+    def test_parseval(self, rtol=1e-15):
+        self.m.set_q(self.qi)
+        var_q_spec = float(np.asarray(self.m.kernel.spec_var(self.m.state.qh)))
+        assert relative_error(var_q_spec, self.qi.var()) < rtol
+
+
+class TestMXUTransform:
+    """matmul-DFT provider vs native FFT (TPU-path correctness on CPU)."""
+
+    def setup_method(self):
+        self.nx = 64
+        rng = np.random.default_rng(44)
+        self.z = rng.standard_normal((self.nx, self.nx)) + 1j * rng.standard_normal((self.nx, self.nx))
+        self.x = rng.standard_normal((self.nx, self.nx))
+
+    def test_fft2_matches_native_f64(self):
+        mxu = MXUTransform(self.nx, np.float64)
+        got = mxu.fft2(C.from_complex(self.z)).to_complex()
+        want = np.fft.fft2(self.z)
+        assert np.abs(got - want).max() / np.abs(want).max() < 1e-12
+
+    def test_ifft2_roundtrip_f64(self):
+        mxu = MXUTransform(self.nx, np.float64)
+        got = mxu.ifft2(mxu.fft2(C.from_complex(self.z))).to_complex()
+        assert np.abs(got - self.z).max() < 1e-12
+
+    def test_rfft2_and_inverse_f64(self):
+        mxu = MXUTransform(self.nx, np.float64)
+        zh = mxu.rfft2(np.asarray(self.x))
+        want = np.fft.rfft2(self.x)
+        assert np.abs(zh.to_complex() - want).max() / np.abs(want).max() < 1e-12
+        back = np.asarray(mxu.irfft2(zh))
+        assert np.abs(back - self.x).max() < 1e-12
+
+    def test_split_precision_f32(self):
+        """bf16 hi/lo split recovers ~f32 accuracy (the TPU default mode)."""
+        mxu = MXUTransform(self.nx, np.float32, precision="split")
+        got = mxu.fft2(C.from_complex(self.z.astype(np.complex64))).to_complex()
+        want = np.fft.fft2(self.z)
+        rel = np.abs(got - want).max() / np.abs(want).max()
+        assert rel < 5e-6, rel
+
+    def test_batched_transform(self):
+        mxu = MXUTransform(self.nx, np.float64)
+        batch = np.stack([self.z, 2 * self.z, self.z.conj()])
+        got = mxu.fft2(C.from_complex(batch)).to_complex()
+        want = np.fft.fft2(batch, axes=(-2, -1))
+        assert np.abs(got - want).max() / np.abs(want).max() < 1e-12
