@@ -23,6 +23,7 @@ from . import diagnostics as diag_mod
 from .carray import C
 from .diagnostics import SeriesAccumulator
 from .io import Saver
+from .ops.fft import MXUTransform
 from .models.coupled import CoupledPhysics
 from .models.kernel import KernelParams, WaveKernel
 from .models.qg import QGKernel, QGParams
@@ -46,6 +47,22 @@ def _make_logger(name: str, loglevel: int = 10) -> logging.Logger:
     logger.setLevel(loglevel)
     logger.propagate = False
     return logger
+
+
+def _make_sharded_transform(nx, dtype, mesh, backend, precision):
+    """Distributed transform for a device mesh.
+
+    CPU/GPU meshes get the shard_map pencil FFT; TPU-like backends get the
+    MXU matmul-DFT, whose einsums GSPMD partitions into tensor-parallel
+    matmuls with the right collectives.
+    """
+    plat = jax.default_backend()
+    if backend == "mxu" or (backend == "auto" and plat not in ("cpu", "gpu",
+                                                               "cuda", "rocm")):
+        return MXUTransform(nx, dtype, precision=precision)
+    from .parallel.pfft import PencilTransform
+
+    return PencilTransform(nx, dtype, mesh)
 
 
 class _ModelBase:
@@ -235,7 +252,7 @@ class _WaveModel(_ModelBase):
                  mu=0, muw=0, dealias=False, save_to_disk=False,
                  overwrite=True, tsave_snapshots=10, tdiags=10,
                  path="output/", dtype=None, backend="auto",
-                 precision="auto", **kernel_kwargs):
+                 precision="auto", mesh=None, **kernel_kwargs):
         del ny  # accepted but ignored, as in the reference (Kernel.py:101)
         self.params = KernelParams(
             nx=nx, L=L, dt=dt, tmax=tmax, twrite=int(twrite), cflmax=cflmax,
@@ -244,9 +261,14 @@ class _WaveModel(_ModelBase):
             tdiags=tdiags, tsave_snapshots=tsave_snapshots,
         )
         dtype = dtype or _default_dtype()
+        self._mesh = mesh
+        if mesh is not None:
+            kernel_kwargs["transform"] = _make_sharded_transform(
+                nx, dtype, mesh, backend, precision
+            )
         self.kernel = self._make_kernel(dtype, backend, precision,
                                         **kernel_kwargs)
-        self.state = self.kernel.zero_state()
+        self.state = self._shard(self.kernel.zero_state())
         self._init_services(path, save_to_disk, overwrite,
                             self._registry_factory())
 
@@ -254,6 +276,13 @@ class _WaveModel(_ModelBase):
         return self._kernel_cls(self.params, self._physics_factory(),
                                 dtype=dtype, backend=backend,
                                 precision=precision, **kw)
+
+    def _shard(self, state):
+        if self._mesh is None:
+            return state
+        from .parallel.mesh import shard_wave_state
+
+        return shard_wave_state(state, self._mesh)
 
     # -- state access ------------------------------------------------------
     @property
@@ -309,10 +338,10 @@ class _WaveModel(_ModelBase):
         return ["t", "q", "phi"]
 
     def set_q(self, q):
-        self.state = self.kernel.apply_set_q(self.state, q)
+        self.state = self._shard(self.kernel.apply_set_q(self.state, q))
 
     def set_phi(self, phi):
-        self.state = self.kernel.apply_set_phi(self.state, phi)
+        self.state = self._shard(self.kernel.apply_set_phi(self.state, phi))
 
     def _diag_fn(self, state, t_prev):
         K = self.kernel
@@ -372,9 +401,11 @@ class YBJModel(_WaveModel):
 
     model = " YBJ Model (Steady QG flow)"
 
-    def _make_kernel(self, dtype, backend, precision, faithful_quirks=True):
+    def _make_kernel(self, dtype, backend, precision, faithful_quirks=True,
+                     transform=None):
         return YBJKernel(self.params, faithful_quirks=faithful_quirks,
-                         dtype=dtype, backend=backend, precision=precision)
+                         dtype=dtype, backend=backend, precision=precision,
+                         transform=transform)
 
 
 class QGModel(_ModelBase):
@@ -388,7 +419,7 @@ class QGModel(_ModelBase):
                  nu4c=5.0e9, nuc=0, muc=0, dealias=False, save_to_disk=False,
                  overwrite=True, tsave_snapshots=10, tdiags=10,
                  path="output/", dtype=None, backend="auto",
-                 precision="auto"):
+                 precision="auto", mesh=None):
         del ny, tswrite
         self.params = QGParams(
             nx=nx, L=L, dt=dt, tmax=tmax, twrite=int(twrite), cflmax=0.5,
@@ -398,11 +429,27 @@ class QGModel(_ModelBase):
             tsave_snapshots=tsave_snapshots,
         )
         dtype = dtype or _default_dtype()
+        self._mesh = mesh
+        kw = {}
+        if mesh is not None:
+            # the pencil transform has no half-spectrum path
+            kw = dict(
+                transform=_make_sharded_transform(nx, dtype, mesh, backend,
+                                                  precision),
+                spectrum="full",
+            )
         self.kernel = QGKernel(self.params, dtype=dtype, backend=backend,
-                               precision=precision)
-        self.state = self.kernel.zero_state()
+                               precision=precision, **kw)
+        self.state = self._shard(self.kernel.zero_state())
         self._init_services(path, save_to_disk, overwrite,
                             diag_mod.qg_registry())
+
+    def _shard(self, state):
+        if self._mesh is None:
+            return state
+        from .parallel.mesh import shard_qg_state
+
+        return shard_qg_state(state, self._mesh)
 
     # -- state access ------------------------------------------------------
     @property
@@ -448,10 +495,10 @@ class QGModel(_ModelBase):
         return ["t", "q", "c"] if self.params.passive_scalar else ["t", "q"]
 
     def set_q(self, q):
-        self.state = self.kernel.apply_set_q(self.state, q)
+        self.state = self._shard(self.kernel.apply_set_q(self.state, q))
 
     def set_c(self, c):
-        self.state = self.kernel.apply_set_c(self.state, c)
+        self.state = self._shard(self.kernel.apply_set_c(self.state, c))
 
     def _diag_fn(self, state, t_prev):
         K = self.kernel

@@ -79,11 +79,12 @@ class QGKernel:
 
     def __init__(self, params: QGParams, dtype=np.float64,
                  backend: str = "auto", precision: str = "auto",
-                 transform=None):
+                 transform=None, spectrum: str = "half"):
         self.params = params
         self.dtype = np.dtype(dtype)
+        self.spectrum = spectrum
         self.grid = Grid(
-            nx=params.nx, L=params.L, dtype=self.dtype, spectrum="half",
+            nx=params.nx, L=params.L, dtype=self.dtype, spectrum=spectrum,
             use_filter=params.use_filter, dealias=params.dealias,
         ).materialize()
         if transform is not None:
@@ -91,6 +92,12 @@ class QGKernel:
         else:
             self.tr = make_transform(params.nx, self.dtype, backend,
                                      precision=precision)
+        # half-spectrum (rfft, the reference layout) or full-spectrum
+        # (needed by the distributed pencil transform)
+        if spectrum == "half":
+            self._fwd, self._bwd = self.tr.rfft2, self.tr.irfft2
+        else:
+            self._fwd, self._bwd = self.tr.fft2_real, self.tr.ifft2_real
         p = params
         self.coefs_q = build_coefs(
             self.grid,
@@ -109,28 +116,28 @@ class QGKernel:
         return self.grid.spec_var(zh)
 
     def _velocities(self, ph: C):
-        u = self.tr.irfft2(mul_i(ph, -self.grid.l))
-        v = self.tr.irfft2(mul_i(ph, self.grid.k))
+        u = self._bwd(mul_i(ph, -self.grid.l))
+        v = self._bwd(mul_i(ph, self.grid.k))
         return u, v
 
     def _jacobian_hat(self, u, v, field):
         """ik*rfft(u*f) + il*rfft(v*f) — no mean-mode zeroing
         (``QGModel.py:469-481``)."""
         g = self.grid
-        return mul_i(self.tr.rfft2(u * field), g.k) + mul_i(
-            self.tr.rfft2(v * field), g.l
+        return mul_i(self._fwd(u * field), g.k) + mul_i(
+            self._fwd(v * field), g.l
         )
 
     def _invert(self, qh: C):
         ph = -(qh * self.grid.wv2i)
-        p = self.tr.irfft2(ph)
+        p = self._bwd(ph)
         return ph, p
 
     def ep_psi(self, q, p, qh: C, ph: C):
         """``QGModel.py:588-593``."""
         g, pr = self.grid, self.params
-        lap2psi = self.tr.irfft2(ph * g.wv4)
-        lapq = self.tr.irfft2(-(qh * g.wv2))
+        lap2psi = self._bwd(ph * g.wv4)
+        lapq = self._bwd(-(qh * g.wv2))
         return (
             pr.nu4 * (q * lap2psi).mean()
             - pr.nu * (p * lapq).mean()
@@ -142,10 +149,10 @@ class QGKernel:
         g = self.grid
         C2 = self.spec_var(ch)
         gradC2 = self.spec_var(ch * g.wv)
-        lapc = self.tr.irfft2(-(ch * g.wv2))
-        c = self.tr.irfft2(ch)
+        lapc = self._bwd(-(ch * g.wv2))
+        c = self._bwd(ch)
         jac_c = self._jacobian_hat(u, v, c)
-        Gamma_c = 2.0 * (lapc * self.tr.irfft2(jac_c)).mean()
+        Gamma_c = 2.0 * (lapc * self._bwd(jac_c)).mean()
         return C2, gradC2, lapc, Gamma_c
 
     def ep_c(self, C2, gradC2, lapc):
@@ -160,7 +167,7 @@ class QGKernel:
     def chi_c(self, ch: C, gradC2, lapc):
         """``QGModel.py:600-604``."""
         g, pr = self.grid, self.params
-        lap2c = self.tr.irfft2(ch * g.wv4)
+        lap2c = self._bwd(ch * g.wv4)
         return (
             2.0 * pr.nu4c * (lap2c * lapc).mean()
             - 2.0 * pr.nu * (lapc**2).mean()
@@ -183,7 +190,7 @@ class QGKernel:
 
         def q_jac(ph, qh):
             u, v = self._velocities(ph)
-            q = self.tr.irfft2(qh)
+            q = self._bwd(qh)
             return self._jacobian_hat(u, v, q), u, v
 
         # stage 1
@@ -194,7 +201,7 @@ class QGKernel:
         qh1 = qh
         if scalar:
             cc = self.coefs_c
-            c = self.tr.irfft2(ch0)
+            c = self._bwd(ch0)
             Fn0c = -self._jacobian_hat(u, v, c)
             ch = (cc.expch_h * ch0 + Fn0c * cc.Qh) * flt
             ch1 = ch
@@ -210,7 +217,7 @@ class QGKernel:
         Fna = -jac
         qh = (cq.expch_h * qh0 + Fna * cq.Qh) * flt
         if scalar:
-            cphys = self.tr.irfft2(ch)
+            cphys = self._bwd(ch)
             Fnac = -self._jacobian_hat(u, v, cphys)
             ch = (cc.expch_h * ch0 + Fnac * cc.Qh) * flt
             C2, gradC2, lapc, _ = self._scalar_derived(ch, u, v)
@@ -223,7 +230,7 @@ class QGKernel:
         Fnb = -jac
         qh = (cq.expch_h * qh1 + (2.0 * Fnb - Fn0) * cq.Qh) * flt
         if scalar:
-            cphys = self.tr.irfft2(ch)
+            cphys = self._bwd(ch)
             Fnbc = -self._jacobian_hat(u, v, cphys)
             ch = (cc.expch_h * ch1 + (2.0 * Fnbc - Fn0c) * cc.Qh) * flt
             C2, gradC2, lapc, _ = self._scalar_derived(ch, u, v)
@@ -238,7 +245,7 @@ class QGKernel:
               + Fnc * cq.fc) * flt
         cvar = s.cvar
         if scalar:
-            cphys = self.tr.irfft2(ch)
+            cphys = self._bwd(ch)
             Fncc = -self._jacobian_hat(u, v, cphys)
             ch = (cc.expch * ch0 + Fn0c * cc.f0 + 2.0 * (Fnac + Fnbc) * cc.fab
                   + Fncc * cc.fc) * flt
@@ -247,8 +254,8 @@ class QGKernel:
             cvar = s.cvar + dt * (c1 + 2.0 * (c2 + c3) + c4) / 6.0
 
         ph, p = self._invert(qh)
-        q = self.tr.irfft2(qh)
-        cphys = self.tr.irfft2(ch) if scalar else s.c
+        q = self._bwd(qh)
+        cphys = self._bwd(ch) if scalar else s.c
         k4 = self.ep_psi(q, p, qh, ph)
         Ke = s.Ke + dt * (k1 + 2.0 * (k2 + k3) + k4) / 6.0
 
@@ -268,7 +275,7 @@ class QGKernel:
     def apply_set_q(self, s: QGState, q) -> QGState:
         """``QGModel.set_q`` (``QGModel.py:507-520``)."""
         q = jnp.asarray(np.asarray(q, dtype=self.dtype))
-        qh = self.tr.rfft2(q)
+        qh = self._fwd(q)
         ph, p = self._invert(qh)
         Ke = self.ke_qg(ph)
         return s._replace(qh=qh, ph=ph, p=p, q=q, Ke=Ke)
@@ -276,7 +283,7 @@ class QGKernel:
     def apply_set_c(self, s: QGState, c) -> QGState:
         """``QGModel.set_c`` (``QGModel.py:522-534``)."""
         c = jnp.asarray(np.real(np.asarray(c)).astype(self.dtype))
-        ch = self.tr.rfft2(c)
+        ch = self._fwd(c)
         cvar = self.spec_var(ch)
         return s._replace(ch=ch, c=c, cvar=cvar)
 

@@ -1,0 +1,86 @@
+"""Distributed correctness: N-device pencil execution equals 1-device.
+
+The distributed-correctness analog the reference never needed (SURVEY.md
+§4): a step on a sharded mesh must reproduce the single-device step to
+rounding error (same arithmetic, reordered reductions/transposes).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+
+from niwqg_tpu import CoupledModel, QGModel
+from niwqg_tpu import InitialConditions as ic
+from niwqg_tpu.carray import C
+from niwqg_tpu.parallel.mesh import make_mesh
+from niwqg_tpu.parallel.pfft import PencilTransform
+
+NDEV = 4
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    if len(jax.devices()) < NDEV:
+        pytest.skip("needs >= 4 devices")
+    return make_mesh(NDEV)
+
+
+def test_pencil_fft_matches_fft2(mesh, rng):
+    nx = 64
+    z = rng.standard_normal((nx, nx)) + 1j * rng.standard_normal((nx, nx))
+    tr = PencilTransform(nx, np.float64, mesh)
+    got = tr.fft2(C.from_complex(z)).to_complex()
+    want = np.fft.fft2(z)
+    assert np.abs(got - want).max() / np.abs(want).max() < 1e-13
+    back = tr.ifft2(tr.fft2(C.from_complex(z))).to_complex()
+    assert np.abs(back - z).max() < 1e-13
+
+
+def _coupled(mesh=None, nsteps=5):
+    U0 = 0.05
+    m = CoupledModel.Model(use_filter=False, U=-U0, tdiags=1,
+                           tmax=nsteps * 10000.0, mesh=mesh)
+    k0 = 10 * (2 * np.pi / m.L)
+    q = ic.LambDipole(m, U=U0, R=2 * np.pi / k0)
+    phi = (np.ones_like(q) + 1j) * 5 * U0 / np.sqrt(2)
+    m.set_q(q)
+    m.set_phi(phi)
+    m.run()
+    return m
+
+
+def test_coupled_sharded_equals_single(mesh):
+    a = _coupled(mesh=None)
+    b = _coupled(mesh=mesh)
+    scale = np.abs(a.q).max()
+    assert np.abs(a.q - b.q).max() < 1e-13 * scale
+    assert np.abs(np.asarray(a.phi) - np.asarray(b.phi)).max() < 1e-13
+    assert abs(a.Ke - b.Ke) < 1e-12 * abs(a.Ke)
+    for name in ("ke_qg", "gamma_r", "ep_psi"):
+        va = a.diagnostics[name]["value"]
+        vb = b.diagnostics[name]["value"]
+        assert np.abs(va - vb).max() < 1e-10 * (np.abs(va).max() + 1e-300), name
+
+
+def test_qg_sharded_equals_single(mesh):
+    U0 = 0.05
+
+    def build(mesh):
+        m = QGModel.Model(use_filter=False, U=-U0, tdiags=1,
+                          passive_scalar=True, tmax=5 * 10000.0, mesh=mesh)
+        k0 = 10 * (2 * np.pi / m.L)
+        q = ic.LambDipole(m, U=U0, R=2 * np.pi / k0)
+        c = np.real(ic.PlaneWave(m, k=k0, l=k0) * q.mean())
+        m.set_q(q)
+        m.set_c(c)
+        m.run()
+        return m
+
+    a, b = build(None), build(mesh)
+    # the sharded QG path runs in the full-spectrum layout, so rounding
+    # differs slightly from the single-device rfft path: compare at 1e-11
+    scale = np.abs(a.q).max()
+    assert np.abs(a.q - b.q).max() < 1e-11 * scale
+    assert abs(a.Ke - b.Ke) < 1e-11 * abs(a.Ke)
+    assert abs(a.cvar - b.cvar) < 1e-10 * (abs(a.cvar) + 1e-300)
