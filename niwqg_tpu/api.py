@@ -160,6 +160,39 @@ class _ModelBase:
         return int(np.asarray(self.state.tc))
 
     @property
+    def wv4(self):
+        return self.kernel.grid.wv4_np
+
+    @property
+    def wv2i(self):
+        return self.kernel.grid.wv2i_np
+
+    @property
+    def dx(self):
+        return self.kernel.grid.dx
+
+    def __getattr__(self, name):
+        # physics-parameter passthrough (m.nu4, m.f, m.beta, ...) for
+        # reference-style user scripts
+        params = self.__dict__.get("params")
+        if params is not None and hasattr(params, name):
+            return getattr(params, name)
+        raise AttributeError(
+            f"{type(self).__name__!r} object has no attribute {name!r}"
+        )
+
+    def fft(self, x):
+        """Host-side transform matching the model layout (user scripts)."""
+        if self.kernel.grid.spectrum == "half":
+            return np.fft.rfft2(x)
+        return np.fft.fft2(x)
+
+    def ifft(self, xh):
+        if self.kernel.grid.spectrum == "half":
+            return np.fft.irfft2(xh, s=(self.ny, self.nx))
+        return np.fft.ifft2(xh)
+
+    @property
     def diagnostics(self):
         return self._diag_acc.as_reference_dict()
 
@@ -316,6 +349,14 @@ class _WaveModel(_ModelBase):
     @property
     def v(self):
         return np.asarray(self.state.d.v)
+
+    @property
+    def q_psi(self):
+        return np.asarray(self.state.d.q_psi)
+
+    @property
+    def qwh(self):
+        return self.state.d.qwh.to_complex()
 
     @property
     def Ke(self):

@@ -80,40 +80,57 @@ class NativeTransform:
 # ----------------------------------------------------------------------
 # MXU (matmul-DFT) provider
 # ----------------------------------------------------------------------
-def _split_bf16(a):
-    """Split an f32 array into bf16 (hi, lo) with a + 0 ≈ hi + lo."""
-    hi = a.astype(jnp.bfloat16)
-    lo = (a - hi.astype(jnp.float32)).astype(jnp.bfloat16)
-    return hi, lo
+def _mask_split(a):
+    """Bit-masked hi/lo split of f32: hi keeps the top 16 bits (exactly
+    bf16-representable), lo = a - hi.
 
-
-def _mm_split(a, b_hi, b_lo):
-    """a @ b with bf16 hi/lo split of both operands (3 MXU passes).
-
-    ``b`` is pre-split (constant DFT matrix). Accumulation in f32 via
-    preferred_element_type. Recovered accuracy ~1e-7 relative vs the
-    backend's native bf16-grade f32 matmul (~2.5e-3).
+    This MUST be done by masking the mantissa, not via ``astype(bfloat16)``:
+    on the target TPU backend bf16 casts are no-ops (verified empirically —
+    ``astype(bf16)`` returns the f32 values unchanged), while the MXU itself
+    rounds f32 matmul operands to bf16 internally. Masking makes the hi part
+    exact under that internal rounding so the 3-pass sum recovers ~16
+    mantissa bits (~1e-5 relative), vs ~2.6e-3 for a native f32 matmul.
     """
-    a_hi, a_lo = _split_bf16(a)
-    f32 = jnp.float32
-    hi = jnp.dot(a_hi, b_hi, preferred_element_type=f32)
-    mid = jnp.dot(a_hi, b_lo, preferred_element_type=f32) + jnp.dot(
-        a_lo, b_hi, preferred_element_type=f32
-    )
-    return hi + mid
+    ai = jax.lax.bitcast_convert_type(a, jnp.uint32)
+    hi = jax.lax.bitcast_convert_type(ai & jnp.uint32(0xFFFF0000), jnp.float32)
+    return hi, a - hi
 
 
-def _mm_fast(a, b_hi, b_lo):
-    """Single-pass matmul (device-native precision)."""
-    del b_lo
-    return jnp.dot(a.astype(jnp.bfloat16), b_hi, preferred_element_type=jnp.float32)
+def _mask_split3(a):
+    """3-way masked split (top 16 / next 16 / rest) for 6-pass matmuls."""
+    hi, rest = _mask_split(a)
+    mid, lo = _mask_split(rest)
+    return hi, mid, lo
 
 
-def _mm_f32(a, b_hi, b_lo):
-    """Plain f32 dot — true f32 on CPU, bf16-grade on this TPU backend."""
-    del b_lo
-    return jnp.dot(a, b_hi.astype(a.dtype) if b_hi.dtype != a.dtype else b_hi,
-                   preferred_element_type=a.dtype)
+def _mm_split(a, b):
+    """a @ b at ~16-mantissa-bit accuracy via 3 MXU passes.
+
+    ``b`` is pre-split ``(b_hi, b_lo)``; the ``a @ b_lo`` term uses the full
+    ``a`` so the (tiny) lo*lo cross term rides along for free.
+    """
+    b_hi, b_lo = b
+    a_hi, a_lo = _mask_split(a)
+    return a @ b_lo + a_lo @ b_hi + a_hi @ b_hi
+
+
+def _mm_split3(a, b):
+    """a @ b at ~f32 accuracy via 6 MXU passes (3-way splits)."""
+    b_hi, b_mid, b_lo = b
+    a_hi, a_mid, a_lo = _mask_split3(a)
+    return (a_hi @ b_hi
+            + (a_hi @ b_mid + a_mid @ b_hi)
+            + (a @ b_lo + a_mid @ b_mid + a_lo @ b_hi))
+
+
+def _mm_fast(a, b):
+    """Single-pass matmul (device-native precision, bf16-grade on TPU)."""
+    return jnp.dot(a, b[0], preferred_element_type=a.dtype)
+
+
+def _mm_f32(a, b):
+    """Plain dot — true f32/f64 on CPU, bf16-grade on this TPU backend."""
+    return jnp.dot(a, b[0], preferred_element_type=a.dtype)
 
 
 class MXUTransform:
@@ -132,7 +149,8 @@ class MXUTransform:
             # f64/CPU: plain dot is exact enough; f32/TPU: recover via split
             precision = "split" if self.dtype == np.float32 else "f32"
         self.precision = precision
-        self._mm = {"split": _mm_split, "fast": _mm_fast, "f32": _mm_f32}[precision]
+        self._mm = {"split": _mm_split, "split3": _mm_split3,
+                    "fast": _mm_fast, "f32": _mm_f32}[precision]
 
         a = np.arange(nx)
         theta = -2.0 * np.pi * np.outer(a, a) / nx  # forward sign convention
@@ -145,17 +163,20 @@ class MXUTransform:
 
     def _const(self, m: np.ndarray):
         m = jnp.asarray(m.astype(self.dtype))
-        if self.precision in ("split", "fast"):
-            return _split_bf16(m)
-        return (m, None)
+        if self.precision == "split":
+            return _mask_split(m)
+        if self.precision == "split3":
+            return _mask_split3(m)
+        return (m,)
 
     # -- core complex matmul on the last axis ------------------------------
     def _right_mul(self, z: C, M) -> C:
-        """(z @ M) for complex z pair and complex constant M=(Mr, Mi)."""
+        """(z @ M) for complex z pair and complex constant M=(Mr, Mi),
+        where Mr/Mi are pre-split tuples."""
         Mr, Mi = M
         mm = self._mm
-        re = mm(z.re, *Mr) - mm(z.im, *Mi)
-        im = mm(z.re, *Mi) + mm(z.im, *Mr)
+        re = mm(z.re, Mr) - mm(z.im, Mi)
+        im = mm(z.re, Mi) + mm(z.im, Mr)
         return C(re, im)
 
     def _apply_last(self, z: C, M) -> C:
