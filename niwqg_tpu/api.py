@@ -285,8 +285,15 @@ class _WaveModel(_ModelBase):
                  mu=0, muw=0, dealias=False, save_to_disk=False,
                  overwrite=True, tsave_snapshots=10, tdiags=10,
                  path="output/", dtype=None, backend="auto",
-                 precision="auto", mesh=None, **kernel_kwargs):
+                 precision="auto", mesh=None, fast=None, **kernel_kwargs):
         del ny  # accepted but ignored, as in the reference (Kernel.py:101)
+        if fast is None:
+            # batched fast kernel by default on TPU-like backends
+            fast = (backend == "mxu" or
+                    (backend == "auto" and
+                     jax.default_backend() not in ("cpu", "gpu", "cuda",
+                                                   "rocm")))
+        self._fast = bool(fast)
         self.params = KernelParams(
             nx=nx, L=L, dt=dt, tmax=tmax, twrite=int(twrite), cflmax=cflmax,
             U=U, f=f, N=N, m=m, g=g, nu4=nu4, nu4w=nu4w, nu=nu, nuw=nuw,
@@ -306,9 +313,13 @@ class _WaveModel(_ModelBase):
                             self._registry_factory())
 
     def _make_kernel(self, dtype, backend, precision, **kw):
-        return self._kernel_cls(self.params, self._physics_factory(),
-                                dtype=dtype, backend=backend,
-                                precision=precision, **kw)
+        cls = self._kernel_cls
+        if getattr(self, "_fast", False) and cls is WaveKernel:
+            from .models.fast_kernel import FastWaveKernel
+
+            cls = FastWaveKernel
+        return cls(self.params, self._physics_factory(),
+                   dtype=dtype, backend=backend, precision=precision, **kw)
 
     def _shard(self, state):
         if self._mesh is None:

@@ -186,12 +186,23 @@ class WaveKernel:
     def stage_sources(self, qh: C, phih: C, D: Derived) -> StageSources:
         """Energy conversion & dissipation sources
         (``niwqg/Kernel.py:629-701``), evaluated on the carried state."""
-        g, p = self.grid, self.params
-        tr = self.tr
-        phi, phix, phiy, q_psi = D.phi, D.phix, D.phiy, D.q_psi
-
+        g, tr = self.grid, self.tr
         lapphi = tr.ifft2(phih * (-g.wv2))
         lap2phi = tr.ifft2(phih * g.wv4)
+        lap2psi = tr.ifft2_real(D.ph * g.wv4)
+        lapq = tr.ifft2_real(qh * (-g.wv2))
+        lphix = tr.ifft2(mul_i(phih, -g.k * g.wv2))
+        lphiy = tr.ifft2(mul_i(phih, -g.l * g.wv2))
+        return self.sources_from_fields(D, lapphi, lap2phi, lphix, lphiy,
+                                        lap2psi, lapq)
+
+    def sources_from_fields(self, D: Derived, lapphi: C, lap2phi: C,
+                            lphix: C, lphiy: C, lap2psi, lapq) -> StageSources:
+        """Budget-source formulas on precomputed derived fields
+        (``niwqg/Kernel.py:629-701``); shared by the faithful and the
+        batched fast kernels."""
+        p = self.params
+        phi, phix, phiy, q_psi = D.phi, D.phix, D.phiy, D.q_psi
 
         J_psi_phi = D.u * phix + D.v * phiy
         diss_phi = -p.nu4w * lap2phi + p.nuw * lapphi - p.muw * phi
@@ -206,8 +217,6 @@ class WaveKernel:
         pi = (0.5 * phi.mean() * (q_psi * phi.conj()).mean()).im
 
         # ep_psi (``niwqg/Kernel.py:635-640``)
-        lap2psi = tr.ifft2_real(D.ph * g.wv4)
-        lapq = tr.ifft2_real(qh * (-g.wv2))
         ep_psi = (
             p.nu4 * (D.q * lap2psi).mean()
             - p.nu * (D.p * lapq).mean()
@@ -215,8 +224,6 @@ class WaveKernel:
         )
 
         # chi_phi (``niwqg/Kernel.py:646-652``)
-        lphix = tr.ifft2(mul_i(phih, -g.k * g.wv2))
-        lphiy = tr.ifft2(mul_i(phih, -g.l * g.wv2))
         k2 = p.kappa2
         chi_phi = (
             -0.5 * p.nu4w * (lphix.abs2() + lphiy.abs2()).mean() / k2

@@ -14,6 +14,21 @@ import jax.numpy as jnp
 from ..carray import C, jmul, mul_i
 
 
+def hermitian_project(zh: C) -> C:
+    """Project a full-spectrum transform onto the Hermitian subspace:
+    ``(Z + Z*(-k,-l))/2`` — exactly what the reference's
+    ``fft(real(ifft(Z)))`` sandwich computes (``CoupledModel.py:91-94``),
+    without the two transforms. Matters at the unpaired Nyquist modes,
+    which e.g. mean-flow advection rotates off the real axis.
+    """
+
+    def refl(a):
+        a = jnp.flip(a, axis=(-2, -1))
+        return jnp.roll(a, (1, 1), axis=(-2, -1))
+
+    return C(0.5 * (zh.re + refl(zh.re)), 0.5 * (zh.im - refl(zh.im)))
+
+
 def zero_mean_mode(zh: C) -> C:
     """Zero the (0,0) spectral coefficient (``niwqg/Kernel.py:468,484``)."""
     return C(zh.re.at[..., 0, 0].set(0.0), zh.im.at[..., 0, 0].set(0.0))

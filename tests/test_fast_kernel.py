@@ -1,0 +1,43 @@
+"""Fast (batched, spectral-inversion) kernel vs the faithful kernel.
+
+The fast kernel re-associates the reference arithmetic (batched transforms,
+inversion kept in spectral space); in float64 it must track the faithful
+kernel to near machine precision over multiple steps.
+"""
+
+import numpy as np
+import pytest
+
+from niwqg_tpu import CoupledModel, QLModel, UnCoupledModel
+from niwqg_tpu import InitialConditions as ic
+
+MODELS = [CoupledModel, UnCoupledModel, QLModel]
+
+
+def _run(model_mod, fast, nsteps=8):
+    U0 = 0.05
+    m = model_mod.Model(use_filter=False, U=-U0, tdiags=1,
+                        tmax=nsteps * 10000.0, fast=fast)
+    k0 = 10 * (2 * np.pi / m.L)
+    q = ic.LambDipole(m, U=U0, R=2 * np.pi / k0)
+    phi = (np.ones_like(q) + 1j) * 5 * U0 / np.sqrt(2)
+    m.set_q(q)
+    m.set_phi(phi)
+    m.run()
+    return m
+
+
+@pytest.mark.parametrize("model_mod", MODELS)
+def test_fast_matches_faithful(model_mod):
+    a = _run(model_mod, fast=False)
+    b = _run(model_mod, fast=True)
+    qs = np.abs(a.q).max()
+    assert np.abs(a.q - b.q).max() < 1e-10 * qs
+    assert np.abs(np.asarray(a.phi) - np.asarray(b.phi)).max() < 1e-10
+    assert abs(a.Ke - b.Ke) < 1e-10 * abs(a.Ke)
+    assert abs(a.Kw - b.Kw) < 1e-10 * abs(a.Kw)
+    for name in ("ke_qg", "gamma_r", "gamma_a", "ep_psi", "chi_phi"):
+        va = a.diagnostics[name]["value"]
+        vb = b.diagnostics[name]["value"]
+        scale = np.abs(va).max() + 1e-300
+        assert np.abs(va - vb).max() / scale < 1e-9, name
