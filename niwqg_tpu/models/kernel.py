@@ -382,3 +382,18 @@ class WaveKernel:
         phimax = jnp.sqrt(s.d.phi.abs2().max())
         return spectral.cfl_number(s.d.u, s.d.v, phimax, self.params.dt,
                                    self.grid.dx)
+
+    def strain(self, ph: C):
+        """Geostrophic rate of strain (``niwqg/Kernel.py:503-509``)."""
+        g, tr = self.grid, self.tr
+        pxx = tr.ifft2_real(ph * (-g.k * g.k))
+        pyy = tr.ifft2_real(ph * (-g.l * g.l))
+        pxy = tr.ifft2_real(ph * (-g.k * g.l))
+        return 4.0 * pxy**2 + (pxx - pyy) ** 2
+
+    def okubo_weiss(self, s: WaveState):
+        """Okubo–Weiss parameter: squared strain minus squared relative
+        vorticity. The reference's (never-called) ``_calc_OW`` squares the
+        already-squared strain (``niwqg/Kernel.py:518``) — corrected here.
+        """
+        return self.strain(s.d.ph) - s.d.q_psi**2

@@ -133,15 +133,37 @@ def _mm_f32(a, b):
     return jnp.dot(a, b[0], preferred_element_type=a.dtype)
 
 
-class MXUTransform:
-    """Dense-DFT transforms as real matmuls for complex-free TPU backends.
+def _auto_factors(nx: int):
+    """Pick (n1, n2) for the four-step factorization, or None for dense.
 
-    2-D forward: ``Zh = F @ Z @ F`` (F symmetric). Inverse uses
-    ``G = conj(F)/n`` on both sides. Leading batch axes are flattened into
-    the matmul row dimension so a batched transform is one big matmul.
+    Dense is O(n) matmul work per point; four-step is O(n1+n2). Small
+    transforms stay dense (better MXU utilisation, fewer ops); large ones
+    factor into the most balanced power-of-two pair.
+    """
+    if nx < 512 or (nx & (nx - 1)) != 0:
+        return None
+    import math
+
+    p = int(math.log2(nx))
+    n1 = 1 << ((p + 1) // 2)
+    return (n1, nx // n1)
+
+
+class MXUTransform:
+    """DFT-as-matmul transforms for complex-free TPU backends.
+
+    1-D DFTs along an axis are evaluated either densely
+    (``Zh = Z @ F`` with the symmetric DFT matrix, O(n) MACs/point) or by
+    the four-step (Bailey) factorization ``n = n1*n2`` — DFT over x1,
+    twiddle, DFT over x2, index transpose — at O(n1+n2) MACs/point, which
+    is what keeps 1024²+ grids off the dense O(n³) cliff. 2-D transforms
+    apply the 1-D pass along both axes. Leading batch axes are flattened
+    into the matmul row dimension so a batched transform is one big matmul.
+    Inverses fold 1/n into the conjugated tables.
     """
 
-    def __init__(self, nx: int, dtype=np.float32, precision: str = "auto"):
+    def __init__(self, nx: int, dtype=np.float32, precision: str = "auto",
+                 factors="auto"):
         self.nx = nx
         self.dtype = np.dtype(dtype)
         self.nk_half = nx // 2 + 1
@@ -151,6 +173,7 @@ class MXUTransform:
         self.precision = precision
         self._mm = {"split": _mm_split, "split3": _mm_split3,
                     "fast": _mm_fast, "f32": _mm_f32}[precision]
+        self.factors = _auto_factors(nx) if factors == "auto" else factors
 
         a = np.arange(nx)
         theta = -2.0 * np.pi * np.outer(a, a) / nx  # forward sign convention
@@ -160,6 +183,36 @@ class MXUTransform:
         self._Fi = self._const(F.imag)
         self._Gr = self._const(G.real)
         self._Gi = self._const(G.imag)
+
+        if self.factors is not None:
+            n1, n2 = self.factors
+            assert n1 * n2 == nx, (n1, n2, nx)
+
+            def dft_mat(n, inverse, scale=1.0):
+                idx = np.arange(n)
+                M = np.exp((1j if inverse else -1j) * 2.0 * np.pi
+                           * np.outer(idx, idx) / n) * scale
+                return M
+
+            # twiddle T[k1, x2] = exp(∓2πi k1 x2 / n); transposed layout
+            # (x2, k1) matches the (..., x2, k1) intermediate
+            k1 = np.arange(n1)
+            x2 = np.arange(n2)
+            Tf = np.exp(-2j * np.pi * np.outer(x2, k1) / nx)
+            Ti = np.conj(Tf)
+            self._four_fwd = self._four_tables(dft_mat(n1, False),
+                                               dft_mat(n2, False), Tf)
+            # fold the full 1/n into the n2-stage of the inverse
+            self._four_inv = self._four_tables(dft_mat(n1, True),
+                                               dft_mat(n2, True, 1.0 / nx),
+                                               Ti)
+
+    def _four_tables(self, M1, M2, T):
+        return {
+            "M1": (self._const(M1.real), self._const(M1.imag)),
+            "M2": (self._const(M2.real), self._const(M2.imag)),
+            "T": C.from_complex(T, dtype=self.dtype),
+        }
 
     def _const(self, m: np.ndarray):
         m = jnp.asarray(m.astype(self.dtype))
@@ -201,17 +254,37 @@ class MXUTransform:
             )
         return self._right_mul(z, M)
 
+    # -- 1-D DFT along the last axis ---------------------------------------
+    def _swap(self, z: C) -> C:
+        return C(jnp.swapaxes(z.re, -1, -2), jnp.swapaxes(z.im, -1, -2))
+
+    def _dft_last(self, z: C, inverse: bool) -> C:
+        if self.factors is None:
+            M = (self._Gr, self._Gi) if inverse else (self._Fr, self._Fi)
+            return self._flatten_mm(z, M)
+        tab = self._four_inv if inverse else self._four_fwd
+        n1, n2 = self.factors
+        lead = z.re.shape[:-1]
+        zr = C(z.re.reshape(lead + (n1, n2)), z.im.reshape(lead + (n1, n2)))
+        # DFT over x1: layout (..., x2, x1) @ M1 -> (..., x2, k1)
+        a1 = self._flatten_mm(self._swap(zr), tab["M1"])
+        a1 = a1 * tab["T"]  # twiddle, (x2, k1) layout
+        # DFT over x2: layout (..., k1, x2) @ M2 -> (..., k1, k2)
+        a2 = self._flatten_mm(self._swap(a1), tab["M2"])
+        # output index k = k2*n1 + k1 -> (..., k2, k1) then flatten
+        out = self._swap(a2)
+        return C(out.re.reshape(lead + (self.nx,)),
+                 out.im.reshape(lead + (self.nx,)))
+
     # -- public API --------------------------------------------------------
     def fft2(self, z: C) -> C:
-        F = (self._Fr, self._Fi)
-        z = self._flatten_mm(z, F)          # along x
-        z = self._apply_secondlast(z, F)    # along y
+        z = self._dft_last(z, inverse=False)          # along x
+        z = self._swap(self._dft_last(self._swap(z), inverse=False))  # y
         return z
 
     def ifft2(self, zh: C) -> C:
-        G = (self._Gr, self._Gi)
-        zh = self._flatten_mm(zh, G)
-        zh = self._apply_secondlast(zh, G)
+        zh = self._dft_last(zh, inverse=True)
+        zh = self._swap(self._dft_last(self._swap(zh), inverse=True))
         return zh
 
     def fft2_real(self, x) -> C:
