@@ -70,7 +70,8 @@ class _ModelBase:
 
     model = "model"
 
-    def _init_services(self, path, save_to_disk, overwrite, registry):
+    def _init_services(self, path, save_to_disk, overwrite, registry,
+                       snapshot_format="h5"):
         self.logger = _make_logger(type(self).__module__)
         self.logger.info(" %s", self.model)
         self.logger.info(
@@ -80,7 +81,8 @@ class _ModelBase:
         )
         self.registry = registry
         self._diag_acc = SeriesAccumulator(registry)
-        self.saver = Saver(path, save_to_disk, overwrite)
+        self.saver = Saver(path, save_to_disk, overwrite,
+                           snapshot_format=snapshot_format)
         self.saver.save_setup(self)
         self._step_jit = jax.jit(self.kernel.step)
         self._diag_jit = jax.jit(self._diag_fn)
@@ -285,7 +287,8 @@ class _WaveModel(_ModelBase):
                  mu=0, muw=0, dealias=False, save_to_disk=False,
                  overwrite=True, tsave_snapshots=10, tdiags=10,
                  path="output/", dtype=None, backend="auto",
-                 precision="auto", mesh=None, fast=None, **kernel_kwargs):
+                 precision="auto", mesh=None, fast=None,
+                 snapshot_format="h5", **kernel_kwargs):
         del ny  # accepted but ignored, as in the reference (Kernel.py:101)
         if fast is None:
             # batched fast kernel by default on TPU-like backends
@@ -310,7 +313,8 @@ class _WaveModel(_ModelBase):
                                         **kernel_kwargs)
         self.state = self._shard(self.kernel.zero_state())
         self._init_services(path, save_to_disk, overwrite,
-                            self._registry_factory())
+                            self._registry_factory(),
+                            snapshot_format=snapshot_format)
 
     def _make_kernel(self, dtype, backend, precision, **kw):
         cls = self._kernel_cls

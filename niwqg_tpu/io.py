@@ -33,15 +33,29 @@ def _file_exist(fno: str, overwrite: bool = True):
 
 
 class Saver:
-    """Per-model output manager (path layout as ``niwqg/Saving.py``)."""
+    """Per-model output manager (path layout as ``niwqg/Saving.py``).
 
-    def __init__(self, path: str, save_to_disk: bool, overwrite: bool = True):
+    ``snapshot_format='h5'`` reproduces the reference's blocking
+    one-file-per-snapshot HDF5 layout; ``'npy-async'`` streams each field
+    as ``snapshots/{t}.{field}.npy`` through the native C++ background
+    writer (``io_native.AsyncSnapshotWriter``) so the step loop never
+    waits on disk.
+    """
+
+    def __init__(self, path: str, save_to_disk: bool, overwrite: bool = True,
+                 snapshot_format: str = "h5"):
         self.path = path
         self.save_to_disk = save_to_disk
         self.overwrite = overwrite
+        self.snapshot_format = snapshot_format
+        self._async_writer = None
         if save_to_disk and not os.path.isdir(path):
             os.makedirs(path)
             os.makedirs(os.path.join(path, "snapshots"))
+        if save_to_disk and snapshot_format == "npy-async":
+            from .io_native import AsyncSnapshotWriter
+
+            self._async_writer = AsyncSnapshotWriter(n_threads=2)
 
     def save_setup(self, model):
         if not self.save_to_disk:
@@ -63,7 +77,16 @@ class Saver:
         if not self.save_to_disk:
             return
         t = float(np.asarray(model.t))
-        fno = os.path.join(self.path, "snapshots", "{:015.0f}.h5".format(t))
+        stem = "{:015.0f}".format(t)
+        if self._async_writer is not None:
+            for field in fields:
+                fno = os.path.join(self.path, "snapshots",
+                                   f"{stem}.{field}.npy")
+                self._async_writer.submit_npy(
+                    fno, np.asarray(model.get_field(field))
+                )
+            return
+        fno = os.path.join(self.path, "snapshots", stem + ".h5")
         _file_exist(fno)
         with h5py.File(fno, "w") as h5file:
             for field in fields:
@@ -73,11 +96,17 @@ class Saver:
         """``niwqg/Saving.py:88-101``."""
         if not self.save_to_disk:
             return
+        if self._async_writer is not None:
+            self._async_writer.drain()
         fno = os.path.join(self.path, "diagnostics.h5")
         _file_exist(fno, overwrite=self.overwrite)
         with h5py.File(fno, "w") as h5file:
             for key, entry in diagnostics.items():
                 h5file.create_dataset(key, data=entry["value"])
+
+    def drain(self):
+        if self._async_writer is not None:
+            self._async_writer.drain()
 
 
 # ----------------------------------------------------------------------
