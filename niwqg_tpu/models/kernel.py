@@ -61,6 +61,11 @@ class KernelParams:
     dealias: bool = False
     tdiags: int = 10
     tsave_snapshots: int = 10
+    # stage-interleaved RK4 energy-budget integration (Ke/Pw/Kw,
+    # ``niwqg/Kernel.py:319-392``). Disabling skips the per-stage source
+    # transforms (~30% of the step) and freezes the budget accumulators —
+    # for production runs that only need the cadenced diagnostics.
+    compute_budgets: bool = True
 
     @property
     def kappa(self) -> float:
@@ -262,9 +267,14 @@ class WaveKernel:
         cq, cw = self.coefs_q, self.coefs_w
         flt = self.grid.filtr
         dt = self._s(self.params.dt)
+        if self.params.compute_budgets:
+            sources = self.stage_sources
+        else:
+            zero = StageSources(*([self._s(0.0)] * len(StageSources._fields)))
+            sources = lambda *a: zero  # noqa: E731
 
         # -- stage 1 (sources from carried state)
-        src1 = self.stage_sources(s.qh, s.phih, s.d)
+        src1 = sources(s.qh, s.phih, s.d)
         Fn0, Fn0w = self.nonlinear(s.qh, s.d)
         qh0, phih0 = s.qh, s.phih
         qh = (cq.expch_h * qh0 + Fn0 * cq.Qh) * flt
@@ -273,30 +283,33 @@ class WaveKernel:
         D = self.derive(qh, phih)
 
         # -- stage 2
-        src2 = self.stage_sources(qh, phih, D)
+        src2 = sources(qh, phih, D)
         Fna, Fnaw = self.nonlinear(qh, D)
         qh = (cq.expch_h * qh0 + Fna * cq.Qh) * flt
         phih = (cw.expch_h * phih0 + Fnaw * cw.Qh) * flt
         D = self.derive(qh, phih)
 
         # -- stage 3
-        src3 = self.stage_sources(qh, phih, D)
+        src3 = sources(qh, phih, D)
         Fnb, Fnbw = self.nonlinear(qh, D)
         qh = (cq.expch_h * qh1 + (2.0 * Fnb - Fn0) * cq.Qh) * flt
         phih = (cw.expch_h * phih1 + (2.0 * Fnbw - Fn0w) * cw.Qh) * flt
         D = self.derive(qh, phih)
 
         # -- stage 4 + final combination
-        src4 = self.stage_sources(qh, phih, D)
+        src4 = sources(qh, phih, D)
         Fnc, Fncw = self.nonlinear(qh, D)
         qh = (cq.expch * qh0 + Fn0 * cq.f0 + 2.0 * (Fna + Fnb) * cq.fab
               + Fnc * cq.fc) * flt
         phih = (cw.expch * phih0 + Fn0w * cw.f0 + 2.0 * (Fnaw + Fnbw) * cw.fab
                 + Fncw * cw.fc) * flt
 
-        Ke = s.Ke + dt * (src1.k + 2.0 * (src2.k + src3.k) + src4.k) / 6.0
-        Pw = s.Pw + dt * (src1.p + 2.0 * (src2.p + src3.p) + src4.p) / 6.0
-        Kw = s.Kw + dt * (src1.a + 2.0 * (src2.a + src3.a) + src4.a) / 6.0
+        if self.params.compute_budgets:
+            Ke = s.Ke + dt * (src1.k + 2.0 * (src2.k + src3.k) + src4.k) / 6.0
+            Pw = s.Pw + dt * (src1.p + 2.0 * (src2.p + src3.p) + src4.p) / 6.0
+            Kw = s.Kw + dt * (src1.a + 2.0 * (src2.a + src3.a) + src4.a) / 6.0
+        else:
+            Ke, Pw, Kw = s.Ke, s.Pw, s.Kw
 
         D = self.derive(qh, phih)
         return WaveState(
