@@ -43,17 +43,32 @@ class ETDRK4Coefs(NamedTuple):
 
 
 def _contour_phis(ch: np.ndarray, dt: float, M: int = 32, rho: float = 1.0):
-    """Kassam–Trefethen contour means of the four phi-functions."""
+    """Kassam–Trefethen contour means of the four phi-functions.
+
+    Evaluated in row chunks: the naive ``ch[..., None] + r`` broadcast
+    (``niwqg/Kernel.py:427-433``) materialises several ``(nl, nk, M)``
+    complex128 temporaries — ~13 GB of peak host RAM at 2048², OOM at
+    4096². Chunking bounds the peak at ~100 MB with identical results.
+    """
     r = rho * np.exp(2j * np.pi * ((np.arange(1.0, M + 1)) / M))
-    LR = ch[..., np.newaxis] + r[np.newaxis, np.newaxis, ...]
-    LR2 = LR * LR
-    LR3 = LR2 * LR
-    Qh = dt * (((np.exp(LR / 2.0) - 1.0) / LR).mean(axis=-1))
-    f0 = dt * (
-        (((-4.0 - LR + (np.exp(LR) * (4.0 - 3.0 * LR + LR2))) / LR3).mean(axis=-1))
-    )
-    fab = dt * (((2.0 + LR + np.exp(LR) * (-2.0 + LR)) / LR3).mean(axis=-1))
-    fc = dt * (((-4.0 - 3.0 * LR - LR2 + np.exp(LR) * (4.0 - LR)) / LR3).mean(axis=-1))
+    Qh = np.empty_like(ch)
+    f0 = np.empty_like(ch)
+    fab = np.empty_like(ch)
+    fc = np.empty_like(ch)
+    nl = ch.shape[0]
+    rows = max(1, min(nl, (8 << 20) // max(1, ch.shape[1] * M)))
+    for j0 in range(0, nl, rows):
+        sl = slice(j0, min(j0 + rows, nl))
+        LR = ch[sl, :, np.newaxis] + r[np.newaxis, np.newaxis, :]
+        LR2 = LR * LR
+        LR3 = LR2 * LR
+        eLR = np.exp(LR)
+        Qh[sl] = dt * (((np.exp(LR / 2.0) - 1.0) / LR).mean(axis=-1))
+        f0[sl] = dt * (
+            (((-4.0 - LR + (eLR * (4.0 - 3.0 * LR + LR2))) / LR3).mean(axis=-1))
+        )
+        fab[sl] = dt * (((2.0 + LR + eLR * (-2.0 + LR)) / LR3).mean(axis=-1))
+        fc[sl] = dt * (((-4.0 - 3.0 * LR - LR2 + eLR * (4.0 - LR)) / LR3).mean(axis=-1))
     return Qh, f0, fab, fc
 
 

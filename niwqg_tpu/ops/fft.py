@@ -136,17 +136,15 @@ def _mm_f32(a, b):
 def _auto_factors(nx: int):
     """Pick (n1, n2) for the four-step factorization, or None for dense.
 
-    Dense is O(n) matmul work per point; four-step is O(n1+n2). Small
-    transforms stay dense (better MXU utilisation, fewer ops); large ones
-    factor into the most balanced power-of-two pair.
+    Dense is O(n) matmul work per point; four-step is O(n1+n2) but with
+    poorer MXU utilisation on the small-K stage. Measured on the target
+    v5e (ms per 2048x2048 c64 slice, 'split' precision): dense 5.15,
+    (128,16) 3.55, (64,32) 6.79; at 1024 dense 0.66 vs (128,8) 0.60 —
+    so: dense below 2048, and n1=128 (one MXU-perfect stage) above.
     """
-    if nx < 512 or (nx & (nx - 1)) != 0:
+    if nx < 2048 or (nx & (nx - 1)) != 0:
         return None
-    import math
-
-    p = int(math.log2(nx))
-    n1 = 1 << ((p + 1) // 2)
-    return (n1, nx // n1)
+    return (128, nx // 128)
 
 
 class MXUTransform:
@@ -163,7 +161,8 @@ class MXUTransform:
     """
 
     def __init__(self, nx: int, dtype=np.float32, precision: str = "auto",
-                 factors="auto"):
+                 factors="auto", use_pallas: bool = False,
+                 pallas_interpret: bool = False):
         self.nx = nx
         self.dtype = np.dtype(dtype)
         self.nk_half = nx // 2 + 1
@@ -174,6 +173,10 @@ class MXUTransform:
         self._mm = {"split": _mm_split, "split3": _mm_split3,
                     "fast": _mm_fast, "f32": _mm_f32}[precision]
         self.factors = _auto_factors(nx) if factors == "auto" else factors
+        # fused Pallas complex-split matmul (TPU; 'split' precision only)
+        self.use_pallas = bool(use_pallas) and precision == "split" \
+            and self.dtype == np.float32
+        self.pallas_interpret = pallas_interpret
 
         a = np.arange(nx)
         theta = -2.0 * np.pi * np.outer(a, a) / nx  # forward sign convention
@@ -223,23 +226,35 @@ class MXUTransform:
         return (m,)
 
     # -- core complex matmul on the last axis ------------------------------
+    @staticmethod
+    def _pick_tile(n: int, prefs):
+        for t in prefs:
+            if n % t == 0:
+                return t
+        return n
+
     def _right_mul(self, z: C, M) -> C:
         """(z @ M) for complex z pair and complex constant M=(Mr, Mi),
         where Mr/Mi are pre-split tuples."""
         Mr, Mi = M
+        if self.use_pallas and z.re.ndim == 2:
+            K = z.re.shape[1]
+            N = Mr[0].shape[1]
+            Mrows = z.re.shape[0]
+            if K >= 256 and N >= 256 and Mrows % 8 == 0:
+                from .pallas_mm import csplit_matmul
+
+                tm = self._pick_tile(Mrows, (256, 128, 64, 32, 16, 8))
+                tn = self._pick_tile(N, (512, 256, 128))
+                tk = self._pick_tile(K, (512, 256, 128))
+                re, im = csplit_matmul(z.re, z.im, Mr[0], Mr[1], Mi[0], Mi[1],
+                                       tm=tm, tn=tn, tk=tk,
+                                       interpret=self.pallas_interpret)
+                return C(re, im)
         mm = self._mm
         re = mm(z.re, Mr) - mm(z.im, Mi)
         im = mm(z.re, Mi) + mm(z.im, Mr)
         return C(re, im)
-
-    def _apply_last(self, z: C, M) -> C:
-        return self._right_mul(z, M)
-
-    def _apply_secondlast(self, z: C, M) -> C:
-        # F @ Z along axis -2 == (Z^T @ F^T)^T ; F symmetric.
-        zt = C(jnp.swapaxes(z.re, -1, -2), jnp.swapaxes(z.im, -1, -2))
-        out = self._right_mul(zt, M)
-        return C(jnp.swapaxes(out.re, -1, -2), jnp.swapaxes(out.im, -1, -2))
 
     def _flatten_mm(self, z: C, M) -> C:
         """Right-multiply with leading axes flattened into rows."""
