@@ -84,9 +84,33 @@ class _ModelBase:
         self.saver = Saver(path, save_to_disk, overwrite,
                            snapshot_format=snapshot_format)
         self.saver.save_setup(self)
-        self._step_jit = jax.jit(self.kernel.step)
-        self._diag_jit = jax.jit(self._diag_fn)
+        # large closed-over constants (ETDRK4 tables, wavenumber grids, DFT
+        # matrices) are hoisted into jit arguments — embedding them as HLO
+        # literals overflows the TPU remote-compile transport at 2048^2+
+        self._step_h = None
+        self._diag_h = None
         self._chunk_cache = {}
+
+    def _step_fns(self):
+        if self._step_h is None:
+            from .utils.hoist import hoist
+
+            g, consts = hoist(self.kernel.step, self.state)
+            self._step_h = (jax.jit(g), g, consts)
+        return self._step_h
+
+    def _step_jit(self, state):
+        jit_g, _, consts = self._step_fns()
+        return jit_g(consts, state)
+
+    def _diag_jit(self, state, t_prev):
+        if self._diag_h is None:
+            from .utils.hoist import hoist
+
+            g, consts = hoist(self._diag_fn, state, t_prev)
+            self._diag_h = (jax.jit(g), consts)
+        jit_g, consts = self._diag_h
+        return jit_g(consts, state, t_prev)
 
     # -- pure helpers ------------------------------------------------------
     def _diag_fn(self, state, t_prev):
@@ -94,14 +118,14 @@ class _ModelBase:
 
     def _chunk(self, n: int):
         if n not in self._chunk_cache:
-            kernel = self.kernel
+            _, g, consts = self._step_fns()
 
-            def body(s, _):
-                return kernel.step(s), None
+            def chunk(consts_, s):
+                return jax.lax.scan(lambda c, _: (g(consts_, c), None),
+                                    s, None, length=n)[0]
 
-            self._chunk_cache[n] = jax.jit(
-                lambda s: jax.lax.scan(body, s, None, length=n)[0]
-            )
+            jit_chunk = jax.jit(chunk)
+            self._chunk_cache[n] = lambda s: jit_chunk(consts, s)
         return self._chunk_cache[n]
 
     # -- grid passthroughs (reference attribute surface) -------------------
