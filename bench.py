@@ -39,11 +39,14 @@ def main():
     jax.block_until_ready(state)
     compile_s = time.time() - t0
 
-    # timed steady-state run
+    # timed steady-state run; the Ke fetch inside the timed region forces a
+    # real device round-trip (block_until_ready alone has been observed to
+    # return before results are actually materializable on this backend)
     t0 = time.time()
     state = chunk(state)
-    jax.block_until_ready(state)
+    ke = float(np.asarray(state.Ke))
     dt_s = time.time() - t0
+    assert np.isfinite(ke), f"non-finite Ke after {2*nsteps} steps: {ke}"
 
     steps_per_s = nsteps / dt_s
     pts_per_s = steps_per_s * nx * nx

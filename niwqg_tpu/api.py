@@ -225,6 +225,18 @@ class _ModelBase:
     def describe_diagnostics(self):
         print(self.registry.describe())
 
+    def get_diagnostic(self, dname: str):
+        """Accumulated series for one diagnostic
+        (``niwqg/Diagnostics.py:6-8``, minus its never-incremented
+        ``count`` division bug)."""
+        return np.hstack([np.asarray(v) for v in
+                          self._diag_acc.series[dname]])
+
+    def set_active_diagnostics(self, names):
+        """Restrict which diagnostics are evaluated/accumulated."""
+        self.registry.set_active(names)
+        self._diag_h = None  # re-trace with the new active set
+
     def spec_var(self, ph):
         """Host-side spec_var on a numpy complex transform array."""
         g = self.kernel.grid

@@ -54,6 +54,14 @@ class Registry:
             lines.append(f"{k:<18} | {self.entries[k].description}")
         return "\n".join(lines)
 
+    def set_active(self, names):
+        """Keep only ``names`` active (the working version of the
+        reference's dead ``_set_active_diagnostics``,
+        ``niwqg/Diagnostics.py:37-39`` — it compares with ``==`` instead
+        of assigning)."""
+        for name, d in self.entries.items():
+            d.active = name in names
+
 
 class SeriesAccumulator:
     """Host-side growing series, one per diagnostic (the reference's

@@ -21,7 +21,7 @@ import scipy.special as special
 def _wv(model):
     g = getattr(model, "grid", None)
     if g is not None:
-        return g.wv_np, g.wv2_np, g.x_np, g.y_np, model.nx
+        return g.wv_np, g.wv2_np, g.x_np, g.y_np, g.nx
     return model.wv, model.wv2, model.x, model.y, model.nx
 
 
