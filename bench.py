@@ -8,58 +8,92 @@ steps/s at 128^2 on a 2.2 GHz i7 (``examples/LambDipole.py:5-6``), i.e.
 ~0.33M grid-point-steps/s. ``vs_baseline`` is the speedup of this
 framework's grid-points/s over that figure.
 
+Methodology notes for the target TPU backend:
+  - ``block_until_ready`` has been observed to return before results are
+    actually materializable, so the timed region ends with a scalar fetch
+    (forces a real device round-trip) and asserts finiteness;
+  - timing is per-step jit dispatch (a scan chunk measures the same graph
+    but couples the whole run into one opaque execution on the remote
+    backend); set NIWQG_BENCH_MODE=scan to use a fused lax.scan chunk.
+
 Environment knobs:
-  NIWQG_BENCH_NX     grid size (default 512)
-  NIWQG_BENCH_STEPS  timed steps (default 20)
+  NIWQG_BENCH_NX       grid size (default 512)
+  NIWQG_BENCH_STEPS    timed steps (default 10)
+  NIWQG_BENCH_MODE     'step' (default) | 'scan'
+  NIWQG_BENCH_TIMEOUT  overall seconds before emitting a failure line
+                       (default 3000)
 """
 
 import json
 import os
+import signal
 import sys
 import time
 
 import numpy as np
 
 
+def _emit(metric, value, vs):
+    print(json.dumps({
+        "metric": metric,
+        "value": round(float(value), 1),
+        "unit": "grid-point-steps/s",
+        "vs_baseline": round(float(vs), 2),
+    }))
+
+
 def main():
     import jax
 
     nx = int(os.environ.get("NIWQG_BENCH_NX", "512"))
-    nsteps = int(os.environ.get("NIWQG_BENCH_STEPS", "20"))
+    nsteps = int(os.environ.get("NIWQG_BENCH_STEPS", "10"))
+    mode = os.environ.get("NIWQG_BENCH_MODE", "step")
+    timeout = int(os.environ.get("NIWQG_BENCH_TIMEOUT", "3000"))
+    baseline_pts_per_s = 20.0 * 128 * 128  # reference: ~20 steps/s @ 128^2
+    metric = f"coupled-step grid-points/s @ {nx}^2 ({jax.default_backend()})"
+
+    def on_timeout(sig, frame):
+        _emit(metric + " [TIMEOUT]", 0.0, 0.0)
+        sys.stdout.flush()
+        os._exit(2)
+
+    signal.signal(signal.SIGALRM, on_timeout)
+    signal.alarm(timeout)
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from __graft_entry__ import _build_coupled
 
     m = _build_coupled(nx=nx)
 
-    # compile + warm up one scan chunk
-    chunk = m._chunk(nsteps)
     t0 = time.time()
-    state = chunk(m.state)
-    jax.block_until_ready(state)
+    if mode == "scan":
+        run = m._chunk(nsteps)
+        state = run(m.state)
+    else:
+        _, g, consts = m._step_fns()
+        jf = jax.jit(g)
+        state = jf(consts, m.state)
+    ke = float(np.asarray(state.Ke))
+    assert np.isfinite(ke), f"non-finite Ke after warmup: {ke}"
     compile_s = time.time() - t0
 
-    # timed steady-state run; the Ke fetch inside the timed region forces a
-    # real device round-trip (block_until_ready alone has been observed to
-    # return before results are actually materializable on this backend)
+    # timed steady-state run, closed by a scalar fetch
     t0 = time.time()
-    state = chunk(state)
+    if mode == "scan":
+        state = run(state)
+    else:
+        for _ in range(nsteps):
+            state = jf(consts, state)
     ke = float(np.asarray(state.Ke))
     dt_s = time.time() - t0
-    assert np.isfinite(ke), f"non-finite Ke after {2*nsteps} steps: {ke}"
+    assert np.isfinite(ke), f"non-finite Ke after bench: {ke}"
 
     steps_per_s = nsteps / dt_s
     pts_per_s = steps_per_s * nx * nx
-    baseline_pts_per_s = 20.0 * 128 * 128  # reference: ~20 steps/s @ 128^2
-
-    print(json.dumps({
-        "metric": f"coupled-step grid-points/s @ {nx}^2 ({jax.default_backend()})",
-        "value": round(pts_per_s, 1),
-        "unit": "grid-point-steps/s",
-        "vs_baseline": round(pts_per_s / baseline_pts_per_s, 2),
-    }))
+    _emit(metric, pts_per_s, pts_per_s / baseline_pts_per_s)
     print(f"# steps/s={steps_per_s:.2f} compile_s={compile_s:.1f} "
-          f"nsteps={nsteps} nx={nx}", file=sys.stderr)
+          f"nsteps={nsteps} nx={nx} mode={mode} Ke={ke:.4e}",
+          file=sys.stderr)
 
 
 if __name__ == "__main__":

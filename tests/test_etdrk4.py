@@ -1,0 +1,42 @@
+"""ETDRK4 coefficient construction unit tests (no reference import)."""
+
+import numpy as np
+
+from niwqg_tpu.etdrk4 import _contour_phis, build_coefs, linear_operator_q
+from niwqg_tpu.grid import Grid
+
+
+def _direct_phis(ch, dt, M=32, rho=1.0):
+    """Unchunked textbook evaluation (the reference's broadcast form)."""
+    r = rho * np.exp(2j * np.pi * ((np.arange(1.0, M + 1)) / M))
+    LR = ch[..., np.newaxis] + r[np.newaxis, np.newaxis, :]
+    LR2, LR3 = LR * LR, LR * LR * LR
+    Qh = dt * (((np.exp(LR / 2.0) - 1.0) / LR).mean(axis=-1))
+    f0 = dt * ((((-4.0 - LR + (np.exp(LR) * (4.0 - 3.0 * LR + LR2))) / LR3)
+                .mean(axis=-1)))
+    fab = dt * (((2.0 + LR + np.exp(LR) * (-2.0 + LR)) / LR3).mean(axis=-1))
+    fc = dt * (((-4.0 - 3.0 * LR - LR2 + np.exp(LR) * (4.0 - LR)) / LR3)
+               .mean(axis=-1))
+    return Qh, f0, fab, fc
+
+
+def test_chunked_equals_direct():
+    g = Grid(nx=96, L=5e5, dtype=np.dtype("float64"))
+    c = linear_operator_q(g, U=-0.05, nu4=5e9, nu=20.0, mu=1e-8)
+    dt = 1e4
+    got = _contour_phis(c * dt, dt)
+    want = _direct_phis(c * dt, dt)
+    for a, b in zip(got, want):
+        assert np.array_equal(a, b)
+
+
+def test_small_ch_limits():
+    """As ch -> 0 the phi-functions approach their analytic limits:
+    Qh -> dt/2, f0 -> dt/6, fab -> dt/6, fc -> dt/6."""
+    ch = np.zeros((4, 4), np.complex128)
+    dt = 2.0
+    Qh, f0, fab, fc = _contour_phis(ch, dt)
+    assert np.allclose(Qh, dt / 2, rtol=1e-12)
+    assert np.allclose(f0, dt / 6, rtol=1e-10)
+    assert np.allclose(fab, dt / 6, rtol=1e-10)
+    assert np.allclose(fc, dt / 6, rtol=1e-10)
