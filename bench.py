@@ -12,14 +12,15 @@ Methodology notes for the target TPU backend:
   - ``block_until_ready`` has been observed to return before results are
     actually materializable, so the timed region ends with a scalar fetch
     (forces a real device round-trip) and asserts finiteness;
-  - timing is per-step jit dispatch (a scan chunk measures the same graph
-    but couples the whole run into one opaque execution on the remote
-    backend); set NIWQG_BENCH_MODE=scan to use a fused lax.scan chunk.
+  - timing uses a fused lax.scan chunk: one execution request per chunk
+    amortizes the relay's per-dispatch overhead (measured: scan 9 ms/step
+    vs per-step dispatch 8.5 s/step at 512²); NIWQG_BENCH_MODE=step
+    selects per-step dispatch for debugging.
 
 Environment knobs:
   NIWQG_BENCH_NX       grid size (default 512)
   NIWQG_BENCH_STEPS    timed steps (default 10)
-  NIWQG_BENCH_MODE     'step' (default) | 'scan'
+  NIWQG_BENCH_MODE     'scan' (default) | 'step'
   NIWQG_BENCH_TIMEOUT  overall seconds before emitting a failure line
                        (default 3000)
 """
@@ -47,7 +48,7 @@ def main():
 
     nx = int(os.environ.get("NIWQG_BENCH_NX", "512"))
     nsteps = int(os.environ.get("NIWQG_BENCH_STEPS", "10"))
-    mode = os.environ.get("NIWQG_BENCH_MODE", "step")
+    mode = os.environ.get("NIWQG_BENCH_MODE", "scan")
     timeout = int(os.environ.get("NIWQG_BENCH_TIMEOUT", "3000"))
     baseline_pts_per_s = 20.0 * 128 * 128  # reference: ~20 steps/s @ 128^2
     metric = f"coupled-step grid-points/s @ {nx}^2 ({jax.default_backend()})"
