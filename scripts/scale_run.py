@@ -1,0 +1,90 @@
+"""Large-grid coupled Lamb-dipole run with energy-budget closure check.
+
+The BASELINE.json north-star configuration: a coupled NIW-QG Lamb-dipole
+simulation at large resolution (default 4096²) whose RK4-integrated
+Ke/Kw/Pw budgets must track the instantaneous energies — the reference's
+strongest correctness oracle (tests/test_diagnostics.py), exercised here at
+a scale the reference NumPy solver cannot reach in reasonable time.
+
+Runs in fused scan chunks with diagnostics sampled between chunks.
+
+Usage:
+  NIWQG_SCALE_NX=4096 NIWQG_SCALE_STEPS=100 python scripts/scale_run.py
+"""
+
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from niwqg_tpu import CoupledModel
+    from niwqg_tpu import InitialConditions as ic
+
+    nx = int(os.environ.get("NIWQG_SCALE_NX", "4096"))
+    nsteps = int(os.environ.get("NIWQG_SCALE_STEPS", "100"))
+    chunk = int(os.environ.get("NIWQG_SCALE_CHUNK", "10"))
+
+    U0 = 0.1
+    L = 2 * np.pi * 200e3
+    k0 = 10 * (2 * np.pi / L)
+    Te = (U0 * k0) ** -1
+    dt = 0.025 * Te
+    # resolution-appropriate hyperviscosity (~ reference example scaled)
+    nu4 = 5e11 * (128.0 / nx) ** 3
+
+    # filter OFF so the budget is exactly closed (the exponential filter's
+    # dissipation is untracked by the budget, in the reference too);
+    # resolution-scaled hyperviscosity handles the small scales
+    m = CoupledModel.Model(
+        L=L, nx=nx, tmax=nsteps * dt, dt=dt, m=2 * np.pi / 280, N=0.01,
+        f=1e-4, nu4=nu4, nu4w=nu4, nu=0, nuw=0, use_filter=False,
+        U=-U0, tdiags=nsteps + 1,
+    )
+    q = ic.LambDipole(m, U=U0, R=2 * np.pi / k0)
+    m.set_q(q)
+    m.set_phi((np.ones_like(q) + 1j) * 2 * U0 / np.sqrt(2))
+
+    K = m.kernel
+    t0 = time.time()
+    run = m._chunk(chunk)
+    closures = []
+    state = m.state
+    for i in range(nsteps // chunk):
+        state = run(state)
+        ke_inst = float(np.asarray(K.ke_qg(state.d.ph)))
+        kw_inst = float(np.asarray(K.ke_niw(state.d.phi)))
+        pw_inst = float(np.asarray(K.pe_niw(state.phih)))
+        Ke, Kw, Pw = (float(np.asarray(state.Ke)), float(np.asarray(state.Kw)),
+                      float(np.asarray(state.Pw)))
+        # normalise all three budget errors by the dominant energy scale
+        # (Pw starts at ~0, so a per-term relative error is ill-posed)
+        scale = max(abs(ke_inst), abs(kw_inst), abs(pw_inst))
+        rel = max(abs(Ke - ke_inst), abs(Kw - kw_inst),
+                  abs(Pw - pw_inst)) / scale
+        closures.append(rel)
+        print(f"step {(i+1)*chunk:4d}: Ke={Ke:.5e} (inst {ke_inst:.5e}) "
+              f"Kw={Kw:.5e} Pw={Pw:.3e} worst_closure={rel:.2e} "
+              f"[{time.time()-t0:.0f}s]", flush=True)
+    wall = time.time() - t0
+    pts = nx * nx * nsteps / wall
+    print(f"\n{nx}^2 x {nsteps} steps in {wall:.0f}s "
+          f"({nsteps/wall:.2f} steps/s, {pts/1e6:.1f}M grid-pt-steps/s, "
+          f"{pts/ (20.0*128*128):.0f}x baseline)")
+    worst = max(closures)
+    # closure is RK4-accurate, not exact: truncation ~1e-6 relative at this
+    # dt in f64; f32 adds transform/rounding noise
+    tol = 5e-3 if m.kernel.dtype == np.float32 else 1e-5
+    print(f"worst budget closure: {worst:.2e} (tol {tol:.0e})")
+    ok = bool(np.isfinite(worst)) and worst < tol
+    print("SCALE RUN:", "PASS" if ok else "FAIL")
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
