@@ -146,7 +146,7 @@ class WaveKernel:
 
     def __init__(self, params: KernelParams, physics: WavePhysics,
                  dtype=np.float64, backend: str = "auto", precision: str = "auto",
-                 transform=None):
+                 transform=None, transform_opts=None):
         self.params = params
         self.physics = physics
         self.dtype = np.dtype(dtype)
@@ -158,7 +158,8 @@ class WaveKernel:
             self.tr = transform
         else:
             self.tr = make_transform(params.nx, self.dtype, backend,
-                                     precision=precision)
+                                     precision=precision,
+                                     **(transform_opts or {}))
         # ETDRK4 tables for the q- and phi-equations
         p = params
         self.coefs_q = build_coefs(

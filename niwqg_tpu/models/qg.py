@@ -79,7 +79,8 @@ class QGKernel:
 
     def __init__(self, params: QGParams, dtype=np.float64,
                  backend: str = "auto", precision: str = "auto",
-                 transform=None, spectrum: str = "half"):
+                 transform=None, spectrum: str = "half",
+                 transform_opts=None):
         self.params = params
         self.dtype = np.dtype(dtype)
         self.spectrum = spectrum
@@ -91,7 +92,8 @@ class QGKernel:
             self.tr = transform
         else:
             self.tr = make_transform(params.nx, self.dtype, backend,
-                                     precision=precision)
+                                     precision=precision,
+                                     **(transform_opts or {}))
         # half-spectrum (rfft, the reference layout) or full-spectrum
         # (needed by the distributed pencil transform)
         if spectrum == "half":

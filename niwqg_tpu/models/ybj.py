@@ -48,9 +48,10 @@ class YBJKernel(WaveKernel):
 
     def __init__(self, params: KernelParams, faithful_quirks: bool = True,
                  dtype=np.float64, backend: str = "auto", precision: str = "auto",
-                 transform=None):
+                 transform=None, transform_opts=None):
         super().__init__(params, YBJPhysics(), dtype=dtype, backend=backend,
-                         precision=precision, transform=transform)
+                         precision=precision, transform=transform,
+                         transform_opts=transform_opts)
         self.faithful_quirks = faithful_quirks
 
     def _ybj_nonlinear(self, phih: C, phi: C, s: WaveState):

@@ -25,9 +25,6 @@ QG model via Hermitian expansion.
 
 from __future__ import annotations
 
-import functools
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -329,11 +326,14 @@ class MXUTransform:
         return self.ifft2(self._hermitian_expand(zh)).re
 
 
-def make_transform(nx: int, dtype, backend: str = "auto", precision: str = "auto"):
+def make_transform(nx: int, dtype, backend: str = "auto",
+                   precision: str = "auto", **mxu_opts):
     """Pick a transform provider.
 
     ``backend='auto'`` selects MXU on TPU-like platforms (no complex
-    support) and native FFT elsewhere.
+    support) and native FFT elsewhere. ``mxu_opts`` (``factors``,
+    ``use_pallas``, ``pallas_interpret``) pass through to MXUTransform and
+    are ignored for the native provider.
     """
     if backend == "auto":
         plat = jax.default_backend()
@@ -341,5 +341,5 @@ def make_transform(nx: int, dtype, backend: str = "auto", precision: str = "auto
     if backend == "native":
         return NativeTransform(nx, dtype)
     if backend == "mxu":
-        return MXUTransform(nx, dtype, precision=precision)
+        return MXUTransform(nx, dtype, precision=precision, **mxu_opts)
     raise ValueError(f"unknown transform backend {backend!r}")
