@@ -50,9 +50,9 @@ class FastWaveKernel(WaveKernel):
 
         if self._has_wave_pv():
             z = phix.conj() * phiy - phiy.conj() * phix
-            fj = tr.fft2(stack([C.from_real(phi.abs2()),
-                                C.from_real(jmul(z).re)]))
-            gphi2h, jach = unstack(fj, 2)
+            # two real forward transforms packed into one (two-for-one)
+            packed = tr.fft2(spectral.pack_two_real(phi.abs2(), jmul(z).re))
+            gphi2h, jach = spectral.unpack_two_real_hat(packed)
             gphi2h = gphi2h * (-g.wv2)
             jach = spectral.zero_mean_mode(jach)
             qwh = ((0.5 * gphi2h + jach) * 0.5 / p.f) * g.filtr
@@ -67,9 +67,17 @@ class FastWaveKernel(WaveKernel):
             # (``QLModel.py:86``)
             ph = spectral.hermitian_project(ph)
         qpsi_h = (qh - qwh) if self._subtracts_wave_pv() else qh
-        gb = tr.ifft2(stack([ph, mul_i(ph, -g.l), mul_i(ph, g.k), qh,
-                             qpsi_h]))
-        p_, u, v, q, q_psi = [x.re for x in unstack(gb, 5)]
+        # all five outputs are real fields of Hermitian transforms: pack
+        # them pairwise so five inverse transforms become three slices
+        gb = tr.ifft2(stack([
+            spectral.combine_two_real_hat(ph, mul_i(ph, -g.l)),   # p, u
+            spectral.combine_two_real_hat(mul_i(ph, g.k), qh),    # v, q
+            qpsi_h,                                               # q_psi
+        ]))
+        s0, s1, s2 = unstack(gb, 3)
+        p_, u = s0.re, s0.im
+        v, q = s1.re, s1.im
+        q_psi = s2.re
         return Derived(ph=ph, p=p_, q=q, q_psi=q_psi, qwh=qwh, phi=phi,
                        phix=phix, phiy=phiy, u=u, v=v)
 
@@ -81,30 +89,31 @@ class FastWaveKernel(WaveKernel):
             phih * g.wv4,                    # lap2phi
             mul_i(phih, -g.k * g.wv2),       # lphix
             mul_i(phih, -g.l * g.wv2),       # lphiy
-            D.ph * g.wv4,                    # lap2psi (real part)
-            qh * (-g.wv2),                   # lapq (real part)
+            spectral.combine_two_real_hat(D.ph * g.wv4,
+                                          qh * (-g.wv2)),  # lap2psi, lapq
         ]))
-        lapphi, lap2phi, lphix, lphiy, lap2psi, lapq = unstack(batch, 6)
+        lapphi, lap2phi, lphix, lphiy, packed = unstack(batch, 5)
         return self.sources_from_fields(D, lapphi, lap2phi, lphix, lphiy,
-                                        lap2psi.re, lapq.re)
+                                        packed.re, packed.im)
 
     # ------------------------------------------------------------------
     def nonlinear(self, qh: C, D: Derived):
         g, tr = self.grid, self.tr
         if isinstance(self.physics, QLPhysics):
             ph_q = -(qh * g.wv2i)
-            uv = tr.ifft2(stack([mul_i(ph_q, -g.l), mul_i(ph_q, g.k)]))
-            adv_u, adv_v = [x.re for x in unstack(uv, 2)]
+            uv = tr.ifft2(spectral.combine_two_real_hat(
+                mul_i(ph_q, -g.l), mul_i(ph_q, g.k)))
+            adv_u, adv_v = uv.re, uv.im
         else:
             adv_u, adv_v = D.u, D.v
 
         nl = tr.fft2(stack([
-            C.from_real(D.u * D.q),
-            C.from_real(D.v * D.q),
+            spectral.pack_two_real(D.u * D.q, D.v * D.q),
             adv_u * D.phix + adv_v * D.phiy,
             D.phi * D.q_psi,
         ]))
-        uqh, vqh, jacwh, refrh = unstack(nl, 4)
+        packed, jacwh, refrh = unstack(nl, 3)
+        uqh, vqh = spectral.unpack_two_real_hat(packed)
         jacq = spectral.zero_mean_mode(mul_i(uqh, g.k) + mul_i(vqh, g.l))
         Fn = -jacq
         if self.physics.zero_mean_jac_psi_phi:

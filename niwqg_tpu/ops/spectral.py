@@ -29,6 +29,45 @@ def hermitian_project(zh: C) -> C:
     return C(0.5 * (zh.re + refl(zh.re)), 0.5 * (zh.im - refl(zh.im)))
 
 
+def _herm_reflect_conj(zh: C) -> C:
+    """conj(Z(-k,-l)) on the full spectral grid."""
+
+    def refl(a):
+        a = jnp.flip(a, axis=(-2, -1))
+        return jnp.roll(a, (1, 1), axis=(-2, -1))
+
+    return C(refl(zh.re), -refl(zh.im))
+
+
+def pack_two_real(x, y) -> C:
+    """Pack two real fields into one complex field for a shared transform."""
+    return C(x, y)
+
+
+def unpack_two_real_hat(zh: C):
+    """Split fft(x + i*y) into (fft(x), fft(y)) via Hermitian symmetry:
+    X = (Z + Z*(-k))/2, Y = -i (Z - Z*(-k))/2 — the classic two-for-one
+    real-FFT trick, exact in exact arithmetic."""
+    zc = _herm_reflect_conj(zh)
+    xh = (zh + zc) * 0.5
+    yh = jmul(zh - zc, -0.5)
+    return xh, yh
+
+
+def combine_two_real_hat(ah: C, bh: C) -> C:
+    """A + i*B packed for a single inverse transform yielding (a, b) as
+    (re, im).
+
+    Both inputs are Hermitian-projected first: ``real(ifft(X)) ==
+    ifft(hermitian_part(X))`` exactly, and evolved spectra carry
+    non-Hermitian residue at the unpaired Nyquist modes which would
+    otherwise leak from one packed field into the other's imaginary slot.
+    """
+    ah = hermitian_project(ah)
+    bh = hermitian_project(bh)
+    return C(ah.re - bh.im, ah.im + bh.re)
+
+
 def zero_mean_mode(zh: C) -> C:
     """Zero the (0,0) spectral coefficient (``niwqg/Kernel.py:468,484``)."""
     return C(zh.re.at[..., 0, 0].set(0.0), zh.im.at[..., 0, 0].set(0.0))

@@ -39,5 +39,8 @@ def test_fast_matches_faithful(model_mod):
     for name in ("ke_qg", "gamma_r", "gamma_a", "ep_psi", "chi_phi"):
         va = a.diagnostics[name]["value"]
         vb = b.diagnostics[name]["value"]
-        scale = np.abs(va).max() + 1e-300
-        assert np.abs(va - vb).max() / scale < 1e-9, name
+        # absolute floor: conversion terms can be pure rounding noise
+        # (~1e-14) for near-uniform phi, where relative comparison is
+        # ill-posed
+        scale = np.abs(va).max()
+        assert np.abs(va - vb).max() < 1e-9 * scale + 1e-18, name
