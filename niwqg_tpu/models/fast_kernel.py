@@ -30,7 +30,17 @@ from .uncoupled import UnCoupledPhysics
 
 
 class FastWaveKernel(WaveKernel):
-    """Batched-transform wave kernel (Coupled / UnCoupled / QL physics)."""
+    """Batched-transform wave kernel (Coupled / UnCoupled / QL physics).
+
+    Real-field two-for-one packing engages at nx >= 1024: it trades
+    transform slices for Hermitian-projection flips/rolls, which wins at
+    2048² (4.77 vs 3.71 steps/s measured) but loses at 512² (134 vs 166)
+    where elementwise overhead dominates.
+    """
+
+    @property
+    def _pack(self) -> bool:
+        return self.params.nx >= 1024
 
     def _has_wave_pv(self) -> bool:
         return not isinstance(self.physics, UnCoupledPhysics)
@@ -50,9 +60,15 @@ class FastWaveKernel(WaveKernel):
 
         if self._has_wave_pv():
             z = phix.conj() * phiy - phiy.conj() * phix
-            # two real forward transforms packed into one (two-for-one)
-            packed = tr.fft2(spectral.pack_two_real(phi.abs2(), jmul(z).re))
-            gphi2h, jach = spectral.unpack_two_real_hat(packed)
+            if self._pack:
+                # two real forward transforms packed into one (two-for-one)
+                packed = tr.fft2(spectral.pack_two_real(phi.abs2(),
+                                                        jmul(z).re))
+                gphi2h, jach = spectral.unpack_two_real_hat(packed)
+            else:
+                fj = tr.fft2(stack([C.from_real(phi.abs2()),
+                                    C.from_real(jmul(z).re)]))
+                gphi2h, jach = unstack(fj, 2)
             gphi2h = gphi2h * (-g.wv2)
             jach = spectral.zero_mean_mode(jach)
             qwh = ((0.5 * gphi2h + jach) * 0.5 / p.f) * g.filtr
@@ -67,53 +83,81 @@ class FastWaveKernel(WaveKernel):
             # (``QLModel.py:86``)
             ph = spectral.hermitian_project(ph)
         qpsi_h = (qh - qwh) if self._subtracts_wave_pv() else qh
-        # all five outputs are real fields of Hermitian transforms: pack
-        # them pairwise so five inverse transforms become three slices
-        gb = tr.ifft2(stack([
-            spectral.combine_two_real_hat(ph, mul_i(ph, -g.l)),   # p, u
-            spectral.combine_two_real_hat(mul_i(ph, g.k), qh),    # v, q
-            qpsi_h,                                               # q_psi
-        ]))
-        s0, s1, s2 = unstack(gb, 3)
-        p_, u = s0.re, s0.im
-        v, q = s1.re, s1.im
-        q_psi = s2.re
+        if self._pack:
+            # all five outputs are real fields of Hermitian transforms:
+            # pack them pairwise so five inverse transforms become three
+            gb = tr.ifft2(stack([
+                spectral.combine_two_real_hat(ph, mul_i(ph, -g.l)),  # p, u
+                spectral.combine_two_real_hat(mul_i(ph, g.k), qh),   # v, q
+                qpsi_h,                                              # q_psi
+            ]))
+            s0, s1, s2 = unstack(gb, 3)
+            p_, u = s0.re, s0.im
+            v, q = s1.re, s1.im
+            q_psi = s2.re
+        else:
+            gb = tr.ifft2(stack([ph, mul_i(ph, -g.l), mul_i(ph, g.k), qh,
+                                 qpsi_h]))
+            p_, u, v, q, q_psi = [x.re for x in unstack(gb, 5)]
         return Derived(ph=ph, p=p_, q=q, q_psi=q_psi, qwh=qwh, phi=phi,
                        phix=phix, phiy=phiy, u=u, v=v)
 
     # ------------------------------------------------------------------
     def stage_sources(self, qh: C, phih: C, D: Derived) -> StageSources:
         g, tr = self.grid, self.tr
-        batch = tr.ifft2(stack([
+        phih_slices = [
             phih * (-g.wv2),                 # lapphi
             phih * g.wv4,                    # lap2phi
             mul_i(phih, -g.k * g.wv2),       # lphix
             mul_i(phih, -g.l * g.wv2),       # lphiy
-            spectral.combine_two_real_hat(D.ph * g.wv4,
-                                          qh * (-g.wv2)),  # lap2psi, lapq
-        ]))
-        lapphi, lap2phi, lphix, lphiy, packed = unstack(batch, 5)
+        ]
+        if self._pack:
+            batch = tr.ifft2(stack(phih_slices + [
+                spectral.combine_two_real_hat(D.ph * g.wv4,
+                                              qh * (-g.wv2)),
+            ]))
+            lapphi, lap2phi, lphix, lphiy, packed = unstack(batch, 5)
+            lap2psi, lapq = packed.re, packed.im
+        else:
+            batch = tr.ifft2(stack(phih_slices + [
+                D.ph * g.wv4, qh * (-g.wv2),
+            ]))
+            lapphi, lap2phi, lphix, lphiy, s4, s5 = unstack(batch, 6)
+            lap2psi, lapq = s4.re, s5.re
         return self.sources_from_fields(D, lapphi, lap2phi, lphix, lphiy,
-                                        packed.re, packed.im)
+                                        lap2psi, lapq)
 
     # ------------------------------------------------------------------
     def nonlinear(self, qh: C, D: Derived):
         g, tr = self.grid, self.tr
         if isinstance(self.physics, QLPhysics):
             ph_q = -(qh * g.wv2i)
-            uv = tr.ifft2(spectral.combine_two_real_hat(
-                mul_i(ph_q, -g.l), mul_i(ph_q, g.k)))
-            adv_u, adv_v = uv.re, uv.im
+            if self._pack:
+                uv = tr.ifft2(spectral.combine_two_real_hat(
+                    mul_i(ph_q, -g.l), mul_i(ph_q, g.k)))
+                adv_u, adv_v = uv.re, uv.im
+            else:
+                uv = tr.ifft2(stack([mul_i(ph_q, -g.l), mul_i(ph_q, g.k)]))
+                adv_u, adv_v = [x.re for x in unstack(uv, 2)]
         else:
             adv_u, adv_v = D.u, D.v
 
-        nl = tr.fft2(stack([
-            spectral.pack_two_real(D.u * D.q, D.v * D.q),
-            adv_u * D.phix + adv_v * D.phiy,
-            D.phi * D.q_psi,
-        ]))
-        packed, jacwh, refrh = unstack(nl, 3)
-        uqh, vqh = spectral.unpack_two_real_hat(packed)
+        if self._pack:
+            nl = tr.fft2(stack([
+                spectral.pack_two_real(D.u * D.q, D.v * D.q),
+                adv_u * D.phix + adv_v * D.phiy,
+                D.phi * D.q_psi,
+            ]))
+            packed, jacwh, refrh = unstack(nl, 3)
+            uqh, vqh = spectral.unpack_two_real_hat(packed)
+        else:
+            nl = tr.fft2(stack([
+                C.from_real(D.u * D.q),
+                C.from_real(D.v * D.q),
+                adv_u * D.phix + adv_v * D.phiy,
+                D.phi * D.q_psi,
+            ]))
+            uqh, vqh, jacwh, refrh = unstack(nl, 4)
         jacq = spectral.zero_mean_mode(mul_i(uqh, g.k) + mul_i(vqh, g.l))
         Fn = -jacq
         if self.physics.zero_mean_jac_psi_phi:
