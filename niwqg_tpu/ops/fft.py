@@ -184,6 +184,24 @@ class MXUTransform:
         self._Gr = self._const(G.real)
         self._Gi = self._const(G.imag)
 
+        # dedicated half-spectrum (real-FFT) matrices: forward keeps only
+        # nk = nx//2+1 columns; inverse reconstructs the real signal with
+        # Hermitian weights w = [1, 2, ..., 2, 1] folded in — ~3x fewer
+        # matmul units than full-spectrum + hermitian-expand.
+        nk = self.nk_half
+        Fh = F[:, :nk]
+        self._Rf = (self._const(Fh.real), self._const(Fh.imag))
+        m = np.arange(nk)
+        j = np.arange(nx)
+        w = np.full(nk, 2.0)
+        w[0] = 1.0
+        if nx % 2 == 0:
+            w[-1] = 1.0
+        ang = 2.0 * np.pi * np.outer(m, j) / nx
+        A = (w[:, None] * np.cos(ang)) / nx
+        B = (-w[:, None] * np.sin(ang)) / nx
+        self._Ri = (self._const(A), self._const(B))
+
         if self.factors is not None:
             n1, n2 = self.factors
             assert n1 * n2 == nx, (n1, n2, nx)
@@ -305,9 +323,21 @@ class MXUTransform:
     def ifft2_real(self, zh: C):
         return self.ifft2(zh).re
 
+    def _real_mm_flat(self, x, M):
+        """Real (…, K) @ (K, N) with leading axes flattened."""
+        shape = x.shape
+        flat = x.reshape(-1, shape[-1]) if x.ndim > 2 else x
+        out = self._mm(flat, M)
+        if x.ndim > 2:
+            out = out.reshape(shape[:-1] + (out.shape[-1],))
+        return out
+
     def rfft2(self, x) -> C:
-        full = self.fft2_real(x)
-        return C(full.re[..., : self.nk_half], full.im[..., : self.nk_half])
+        # pass 1: real DFT along x keeping nk columns (2 real matmuls)
+        z = C(self._real_mm_flat(x, self._Rf[0]),
+              self._real_mm_flat(x, self._Rf[1]))
+        # pass 2: full complex DFT along y
+        return self._swap(self._dft_last(self._swap(z), inverse=False))
 
     def _hermitian_expand(self, zh: C) -> C:
         """Half spectrum (ny, nx//2+1) -> full (ny, nx) via conj symmetry."""
@@ -323,7 +353,11 @@ class MXUTransform:
         )
 
     def irfft2(self, zh: C):
-        return self.ifft2(self._hermitian_expand(zh)).re
+        # pass 1: inverse complex DFT along y
+        z = self._swap(self._dft_last(self._swap(zh), inverse=True))
+        # pass 2: Hermitian-weighted real reconstruction along x
+        return (self._real_mm_flat(z.re, self._Ri[0])
+                + self._real_mm_flat(z.im, self._Ri[1]))
 
 
 def make_transform(nx: int, dtype, backend: str = "auto",
