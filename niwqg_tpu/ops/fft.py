@@ -339,19 +339,6 @@ class MXUTransform:
         # pass 2: full complex DFT along y
         return self._swap(self._dft_last(self._swap(z), inverse=False))
 
-    def _hermitian_expand(self, zh: C) -> C:
-        """Half spectrum (ny, nx//2+1) -> full (ny, nx) via conj symmetry."""
-        tail = C(zh.re[..., 1 : self.nx // 2], zh.im[..., 1 : self.nx // 2])
-        tail = C(jnp.flip(tail.re, axis=-1), jnp.flip(tail.im, axis=-1))
-        tail = C(
-            jnp.roll(jnp.flip(tail.re, axis=-2), 1, axis=-2),
-            jnp.roll(jnp.flip(tail.im, axis=-2), 1, axis=-2),
-        )
-        return C(
-            jnp.concatenate([zh.re, tail.re], axis=-1),
-            jnp.concatenate([zh.im, -tail.im], axis=-1),
-        )
-
     def irfft2(self, zh: C):
         # pass 1: inverse complex DFT along y
         z = self._swap(self._dft_last(self._swap(zh), inverse=True))
