@@ -32,15 +32,24 @@ from .uncoupled import UnCoupledPhysics
 class FastWaveKernel(WaveKernel):
     """Batched-transform wave kernel (Coupled / UnCoupled / QL physics).
 
-    Real-field two-for-one packing engages at nx >= 1024: it trades
-    transform slices for Hermitian-projection flips/rolls, which wins at
-    2048² (4.77 vs 3.71 steps/s measured) but loses at 512² (134 vs 166)
-    where elementwise overhead dominates.
+    Real-field two-for-one packing (``pack_min_nx``) trades transform
+    slices for Hermitian-projection flips/rolls: measured +28% at 2048²
+    (4.77 vs 3.71 steps/s) but -20% at 512². DISABLED by default pending a
+    stability investigation: a 100-step 4096² f32 run went NaN with
+    packing enabled where the unpacked kernel holds budget closure at
+    2.6e-5 — prime suspect is forward-unpack crosstalk (the Hermitian
+    separation of fft(x+iy) leaks ~transform-error × ||x|| between the
+    pair, injecting correlated high-k noise each stage). f64 agreement
+    with the faithful kernel is verified either way; the issue is
+    f32-at-scale. Set ``pack_min_nx = 1024`` to re-enable.
     """
+
+    pack_min_nx = None  # disabled pending f32-at-scale stability work
 
     @property
     def _pack(self) -> bool:
-        return self.params.nx >= 1024
+        return (self.pack_min_nx is not None
+                and self.params.nx >= self.pack_min_nx)
 
     def _has_wave_pv(self) -> bool:
         return not isinstance(self.physics, UnCoupledPhysics)
