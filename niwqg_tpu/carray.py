@@ -9,6 +9,12 @@ internally, so the CPU float64 path reproduces the reference NumPy solver
 
 ``C`` is a pytree (NamedTuple), so it threads transparently through
 ``jax.jit``, ``lax.scan``, ``shard_map`` and friends.
+
+Convention: in mixed products with a real jax array, keep the ``C`` operand
+on the LEFT (``phi.conj() * q_psi``). An array on the left only works
+because ``jax.Array.__mul__`` currently returns ``NotImplemented`` for a
+tuple subclass so Python falls back to ``C.__rmul__`` — JAX has rejected
+tuple operands with ``TypeError`` in other versions, so don't rely on it.
 """
 
 from __future__ import annotations

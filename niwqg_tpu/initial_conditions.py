@@ -26,9 +26,17 @@ def _wv(model):
 
 
 def _spec_var(model, ph):
-    """Full-FFT spec_var on host numpy (``niwqg/Kernel.py:654-658``)."""
-    nx = ph.shape[-1]
-    var_dens = np.abs(ph) ** 2 / (nx * nx) ** 2
+    """Host-side spec_var (``niwqg/Kernel.py:654-658``;
+    rfft variant ``niwqg/QGModel.py:611-619``).
+
+    The normalisation constant is ``M = nx*ny`` of the *physical* grid
+    (``niwqg/Kernel.py:255``) — for the half-spectrum layout the spectral
+    array's last dimension is ``nx//2+1``, not ``nx``, so ``M`` must come
+    from the model, never from ``ph.shape``.
+    """
+    _, _, _, _, nx = _wv(model)
+    M = nx * nx  # ny == nx throughout (``niwqg/Kernel.py:101``)
+    var_dens = np.abs(ph) ** 2 / float(M) ** 2
     if ph.shape[-1] != ph.shape[-2]:  # half spectrum
         var_dens = 2.0 * var_dens
         var_dens[:, 0] *= 0.5

@@ -15,6 +15,8 @@ from .kernel import Derived, WaveKernel, WavePhysics
 
 class CoupledPhysics(WavePhysics):
     name = "Coupled Model"
+    has_wave_pv = True
+    subtracts_wave_pv = True
 
     def invert(self, K: WaveKernel, qh: C, phih: C, phi: C) -> Derived:
         g, tr, p = K.grid, K.tr, K.params

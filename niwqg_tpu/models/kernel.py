@@ -129,6 +129,14 @@ class WavePhysics:
 
     name = "wave"
     zero_mean_jac_psi_phi = True
+    # declarative capability flags (used by the batched fast kernel instead
+    # of isinstance/class-name dispatch):
+    #   has_wave_pv       — the inversion carries a wave PV qwh
+    #   subtracts_wave_pv — relative vorticity is q - qw
+    #                       (``niwqg/CoupledModel.py:145-152``; others keep
+    #                       q_psi = q, ``niwqg/Kernel.py:492-501``)
+    has_wave_pv = False
+    subtracts_wave_pv = False
 
     def invert(self, K: "WaveKernel", qh: C, phih: C, phi: C) -> Derived:
         raise NotImplementedError
@@ -210,7 +218,10 @@ class WaveKernel:
         p = self.params
         phi, phix, phiy, q_psi = D.phi, D.phix, D.phiy, D.q_psi
 
-        J_psi_phi = D.u * phix + D.v * phiy
+        # NOTE: keep C operands on the LEFT of mixed products — a jax array
+        # on the left relies on jax returning NotImplemented for the C
+        # NamedTuple, which is version-fragile (see carray.py module note).
+        J_psi_phi = phix * D.u + phiy * D.v
         diss_phi = -p.nu4w * lap2phi + p.nuw * lapphi - p.muw * phi
         J_diss_phi = -(diss_phi * J_psi_phi.conj()).im
         L_diss_phi = 0.5 * (diss_phi * phi.conj()).re * q_psi
@@ -220,7 +231,7 @@ class WaveKernel:
         gamma2 = 0.5 * p.hslash * ((lapphi.conj() * J_psi_phi).re).mean() / p.f
         xi1 = J_diss_phi.mean() / p.f
         xi2 = L_diss_phi.mean() / p.f
-        pi = (0.5 * phi.mean() * (q_psi * phi.conj()).mean()).im
+        pi = (0.5 * phi.mean() * (phi.conj() * q_psi).mean()).im
 
         # ep_psi (``niwqg/Kernel.py:635-640``)
         ep_psi = (

@@ -27,6 +27,8 @@ from .kernel import Derived, WaveKernel, WavePhysics
 class QLPhysics(WavePhysics):
     name = "Quasilinear Model"
     zero_mean_jac_psi_phi = False
+    has_wave_pv = True
+    subtracts_wave_pv = False
 
     def invert(self, K: WaveKernel, qh: C, phih: C, phi: C) -> Derived:
         g, tr, p = K.grid, K.tr, K.params

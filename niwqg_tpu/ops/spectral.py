@@ -90,7 +90,7 @@ def jacobian_psi_q_hat(tr, grid, u, v, q, zero_mean: bool = True) -> C:
 
 def jacobian_psi_phi_hat(tr, u, v, phix: C, phiy: C, zero_mean: bool = True) -> C:
     """fft of u*phix + v*phiy for complex phi gradients."""
-    jach = tr.fft2(u * phix + v * phiy)
+    jach = tr.fft2(phix * u + phiy * v)
     if zero_mean:
         jach = zero_mean_mode(jach)
     return jach

@@ -70,6 +70,22 @@ def test_ybj_frozen_flow():
     assert np.abs(np.asarray(m.phi) - ic.PlaneWave(m, k=k0, l=0)).max() > 1e-6
 
 
+@pytest.mark.parametrize("gen", [ic.McWilliams1984, ic.Danioux2015])
+def test_random_ic_energy_normalization_half_spectrum(gen):
+    """The random ICs normalise to a target energy E via spec_var; on the
+    half-spectrum QGModel the normalisation must use the physical grid size
+    nx*ny, not the rfft array width (regression: Eaux was overestimated
+    ~(nx/(nx//2+1))^4, handing back fields with E/14 instead of E)."""
+    E = 0.5
+    m = QGModel.Model(nx=64, use_filter=False)
+    m.set_q(gen(m, E=E, seed=1234))
+    assert abs(m.Ke - E) / E < 1e-10
+    # and the full-spectrum wave model path still gives exactly E
+    mw = UnCoupledModel.Model(nx=64, use_filter=False)
+    mw.set_q(gen(mw, E=E, seed=1234))
+    assert abs(mw.Ke - E) / E < 1e-10
+
+
 def test_run_with_snapshots_generator():
     U0 = 0.05
     m = QGModel.Model(use_filter=False, tmax=10 * 10000.0, tdiags=1)
