@@ -19,8 +19,16 @@ re/im pairs with arbitrary leading batch axes ``(..., ny, nx)``:
     bf16 hi/lo parts and recovers ~f32 accuracy with 3 matmuls
     (Ootomo-style error-free-ish transformation).
 
-Both support the half-spectrum (real-input) layout used by the standalone
-QG model via Hermitian expansion.
+Real-field transforms (``rfft2``/``irfft2`` and the full-spectrum
+``fft2_real``/``ifft2_real``) exploit realness *within a single field* via
+the classic even/odd split — pack ``x[0::2] + i*x[1::2]`` into one
+half-length complex DFT and recombine with an exact butterfly. This halves
+the transform work like the two-for-one pair-packing trick, but with NO
+cross-field crosstalk: at the split-precision noise floor (~1e-5), packing
+two *different* fields leaks ``eps*||big||`` into the small field's
+spectrum, which the wavenumber factors (k², for the wave-PV term) amplify
+into an f32-at-scale instability (the round-1 4096² NaN). The even/odd
+butterfly only ever mixes a field with itself.
 """
 
 from __future__ import annotations
@@ -29,7 +37,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..carray import C
+from ..carray import C, jmul
+from .spectral import expand_half_to_full, project_full_to_half
 
 
 # ----------------------------------------------------------------------
@@ -120,46 +129,102 @@ def _mm_split3(a, b):
             + (a @ b_lo + a_mid @ b_mid + a_lo @ b_hi))
 
 
-def _mm_fast(a, b):
-    """Single-pass matmul (device-native precision, bf16-grade on TPU)."""
+def _mm_plain(a, b):
+    """Single-pass matmul — true f32/f64 on CPU, bf16-grade on this TPU."""
     return jnp.dot(a, b[0], preferred_element_type=a.dtype)
 
 
-def _mm_f32(a, b):
-    """Plain dot — true f32/f64 on CPU, bf16-grade on this TPU backend."""
-    return jnp.dot(a, b[0], preferred_element_type=a.dtype)
-
-
-def _auto_factors(nx: int):
+def _auto_factors(nx: int, min_n: int = 2048):
     """Pick (n1, n2) for the four-step factorization, or None for dense.
 
     Dense is O(n) matmul work per point; four-step is O(n1+n2) but with
     poorer MXU utilisation on the small-K stage. Measured on the target
     v5e (ms per 2048x2048 c64 slice, 'split' precision): dense 5.15,
     (128,16) 3.55, (64,32) 6.79; at 1024 dense 0.66 vs (128,8) 0.60 —
-    so: dense below 2048, and n1=128 (one MXU-perfect stage) above.
+    so for full-grid passes: dense below 2048, and n1=128 (one MXU-perfect
+    stage) above. The even/odd half-length DFTs inside rfft2/irfft2 use
+    ``min_n=1024`` so a 2048² grid's length-1024 half transforms get the
+    (marginally faster) four-step too.
     """
-    if nx < 2048 or (nx & (nx - 1)) != 0:
+    if nx < min_n or (nx & (nx - 1)) != 0:
         return None
     return (128, nx // 128)
+
+
+class _CDFT:
+    """1-D complex DFT along the last axis for one length ``n``.
+
+    Evaluated either densely (``Zh = Z @ F``, O(n) MACs/point) or by the
+    four-step (Bailey) factorization ``n = n1*n2`` — DFT over x1, twiddle,
+    DFT over x2, index transpose — at O(n1+n2) MACs/point, which is what
+    keeps 1024²+ grids off the dense O(n³) cliff. ``owner`` supplies the
+    precision-split tables and the (possibly Pallas-fused) complex matmul.
+    """
+
+    def __init__(self, owner: "MXUTransform", n: int, factors):
+        self.owner = owner
+        self.n = n
+        self.factors = factors
+        a = np.arange(n)
+        if factors is None:
+            F = np.exp(-2j * np.pi * np.outer(a, a) / n)
+            G = np.conj(F) / n  # inverse, 1/n folded
+            self._F = (owner._const(F.real), owner._const(F.imag))
+            self._G = (owner._const(G.real), owner._const(G.imag))
+        else:
+            n1, n2 = factors
+            assert n1 * n2 == n, (n1, n2, n)
+
+            def dft_mat(m, inverse, scale=1.0):
+                idx = np.arange(m)
+                return np.exp((1j if inverse else -1j) * 2.0 * np.pi
+                              * np.outer(idx, idx) / m) * scale
+
+            # twiddle T[x2, k1] = exp(∓2πi k1 x2 / n); transposed layout
+            # matches the (..., x2, k1) intermediate
+            k1 = np.arange(n1)
+            x2 = np.arange(n2)
+            Tf = np.exp(-2j * np.pi * np.outer(x2, k1) / n)
+            self._fwd = owner._four_tables(dft_mat(n1, False),
+                                           dft_mat(n2, False), Tf)
+            # fold the full 1/n into the n2-stage of the inverse
+            self._inv = owner._four_tables(dft_mat(n1, True),
+                                           dft_mat(n2, True, 1.0 / n),
+                                           np.conj(Tf))
+
+    def __call__(self, z: C, inverse: bool) -> C:
+        ow = self.owner
+        if self.factors is None:
+            return ow._flatten_mm(z, self._G if inverse else self._F)
+        tab = self._inv if inverse else self._fwd
+        n1, n2 = self.factors
+        lead = z.re.shape[:-1]
+        zr = C(z.re.reshape(lead + (n1, n2)), z.im.reshape(lead + (n1, n2)))
+        # DFT over x1: layout (..., x2, x1) @ M1 -> (..., x2, k1)
+        a1 = ow._flatten_mm(ow._swap(zr), tab["M1"])
+        a1 = a1 * tab["T"]  # twiddle, (x2, k1) layout
+        # DFT over x2: layout (..., k1, x2) @ M2 -> (..., k1, k2)
+        a2 = ow._flatten_mm(ow._swap(a1), tab["M2"])
+        # output index k = k2*n1 + k1 -> (..., k2, k1) then flatten
+        out = ow._swap(a2)
+        return C(out.re.reshape(lead + (self.n,)),
+                 out.im.reshape(lead + (self.n,)))
 
 
 class MXUTransform:
     """DFT-as-matmul transforms for complex-free TPU backends.
 
-    1-D DFTs along an axis are evaluated either densely
-    (``Zh = Z @ F`` with the symmetric DFT matrix, O(n) MACs/point) or by
-    the four-step (Bailey) factorization ``n = n1*n2`` — DFT over x1,
-    twiddle, DFT over x2, index transpose — at O(n1+n2) MACs/point, which
-    is what keeps 1024²+ grids off the dense O(n³) cliff. 2-D transforms
-    apply the 1-D pass along both axes. Leading batch axes are flattened
-    into the matmul row dimension so a batched transform is one big matmul.
-    Inverses fold 1/n into the conjugated tables.
+    2-D transforms apply a 1-D pass (:class:`_CDFT`) along both axes.
+    Leading batch axes are flattened into the matmul row dimension so a
+    batched transform is one big matmul. Real-field transforms use the
+    even/odd split (module docstring): ``rfft2``/``irfft2`` cost ~3 dense
+    matmul units instead of 8, with four-step applying to both the
+    half-length x-pass and the (half-width) y-pass at large grids.
     """
 
     def __init__(self, nx: int, dtype=np.float32, precision: str = "auto",
-                 factors="auto", use_pallas: bool = False,
-                 pallas_interpret: bool = False):
+                 factors="auto", half_factors="auto", evenodd="auto",
+                 use_pallas: bool = False, pallas_interpret: bool = False):
         self.nx = nx
         self.dtype = np.dtype(dtype)
         self.nk_half = nx // 2 + 1
@@ -168,62 +233,54 @@ class MXUTransform:
             precision = "split" if self.dtype == np.float32 else "f32"
         self.precision = precision
         self._mm = {"split": _mm_split, "split3": _mm_split3,
-                    "fast": _mm_fast, "f32": _mm_f32}[precision]
+                    "fast": _mm_plain, "f32": _mm_plain}[precision]
         self.factors = _auto_factors(nx) if factors == "auto" else factors
         # fused Pallas complex-split matmul (TPU; 'split' precision only)
         self.use_pallas = bool(use_pallas) and precision == "split" \
             and self.dtype == np.float32
         self.pallas_interpret = pallas_interpret
 
-        a = np.arange(nx)
-        theta = -2.0 * np.pi * np.outer(a, a) / nx  # forward sign convention
-        F = np.exp(1j * theta)
-        G = np.conj(F) / nx  # inverse, 1/n folded per axis
-        self._Fr = self._const(F.real)
-        self._Fi = self._const(F.imag)
-        self._Gr = self._const(G.real)
-        self._Gi = self._const(G.imag)
+        self._cdft = _CDFT(self, nx, self.factors)
 
-        # dedicated half-spectrum (real-FFT) matrices: forward keeps only
-        # nk = nx//2+1 columns; inverse reconstructs the real signal with
-        # Hermitian weights w = [1, 2, ..., 2, 1] folded in — ~3x fewer
-        # matmul units than full-spectrum + hermitian-expand.
-        nk = self.nk_half
-        Fh = F[:, :nk]
-        self._Rf = (self._const(Fh.real), self._const(Fh.imag))
-        m = np.arange(nk)
-        j = np.arange(nx)
-        w = np.full(nk, 2.0)
-        w[0] = 1.0
-        if nx % 2 == 0:
-            w[-1] = 1.0
-        ang = 2.0 * np.pi * np.outer(m, j) / nx
-        A = (w[:, None] * np.cos(ang)) / nx
-        B = (-w[:, None] * np.sin(ang)) / nx
-        self._Ri = (self._const(A), self._const(B))
+        # -- real-transform machinery -----------------------------------
+        if half_factors == "auto":
+            half_factors = (_auto_factors(nx // 2, min_n=1024)
+                            if nx % 2 == 0 else None)
+        if evenodd == "auto":
+            # the even/odd path pays off when the half-length DFT can
+            # four-step; below that the dedicated dense rfft matrices have
+            # the same FLOPs with fewer elementwise ops
+            evenodd = nx % 2 == 0 and half_factors is not None
+        self.evenodd = bool(evenodd) and nx % 2 == 0
+        if self.evenodd:
+            nh = nx // 2
+            self._cdft_half = _CDFT(self, nh, half_factors)
+            # butterfly twiddle W[k] = exp(-2*pi*i*k/nx), k in [0, nh)
+            self._w_f = C.from_complex(
+                np.exp(-2j * np.pi * np.arange(nh) / nx), dtype=self.dtype)
+        else:
+            self._cdft_half = None
 
-        if self.factors is not None:
-            n1, n2 = self.factors
-            assert n1 * n2 == nx, (n1, n2, nx)
-
-            def dft_mat(n, inverse, scale=1.0):
-                idx = np.arange(n)
-                M = np.exp((1j if inverse else -1j) * 2.0 * np.pi
-                           * np.outer(idx, idx) / n) * scale
-                return M
-
-            # twiddle T[k1, x2] = exp(∓2πi k1 x2 / n); transposed layout
-            # (x2, k1) matches the (..., x2, k1) intermediate
-            k1 = np.arange(n1)
-            x2 = np.arange(n2)
-            Tf = np.exp(-2j * np.pi * np.outer(x2, k1) / nx)
-            Ti = np.conj(Tf)
-            self._four_fwd = self._four_tables(dft_mat(n1, False),
-                                               dft_mat(n2, False), Tf)
-            # fold the full 1/n into the n2-stage of the inverse
-            self._four_inv = self._four_tables(dft_mat(n1, True),
-                                               dft_mat(n2, True, 1.0 / nx),
-                                               Ti)
+        # dedicated dense half-spectrum (real-FFT) matrices: forward keeps
+        # only nk = nx//2+1 columns; inverse reconstructs the real signal
+        # with Hermitian weights w = [1, 2, ..., 2, 1] folded in. Used when
+        # the even/odd path is off (small or odd nx).
+        if not self.evenodd:
+            a = np.arange(nx)
+            F = np.exp(-2j * np.pi * np.outer(a, a) / nx)
+            nk = self.nk_half
+            Fh = F[:, :nk]
+            self._Rf = (self._const(Fh.real), self._const(Fh.imag))
+            m = np.arange(nk)
+            j = np.arange(nx)
+            w = np.full(nk, 2.0)
+            w[0] = 1.0
+            if nx % 2 == 0:
+                w[-1] = 1.0
+            ang = 2.0 * np.pi * np.outer(m, j) / nx
+            A = (w[:, None] * np.cos(ang)) / nx
+            B = (-w[:, None] * np.sin(ang)) / nx
+            self._Ri = (self._const(A), self._const(B))
 
     def _four_tables(self, M1, M2, T):
         return {
@@ -289,22 +346,7 @@ class MXUTransform:
         return C(jnp.swapaxes(z.re, -1, -2), jnp.swapaxes(z.im, -1, -2))
 
     def _dft_last(self, z: C, inverse: bool) -> C:
-        if self.factors is None:
-            M = (self._Gr, self._Gi) if inverse else (self._Fr, self._Fi)
-            return self._flatten_mm(z, M)
-        tab = self._four_inv if inverse else self._four_fwd
-        n1, n2 = self.factors
-        lead = z.re.shape[:-1]
-        zr = C(z.re.reshape(lead + (n1, n2)), z.im.reshape(lead + (n1, n2)))
-        # DFT over x1: layout (..., x2, x1) @ M1 -> (..., x2, k1)
-        a1 = self._flatten_mm(self._swap(zr), tab["M1"])
-        a1 = a1 * tab["T"]  # twiddle, (x2, k1) layout
-        # DFT over x2: layout (..., k1, x2) @ M2 -> (..., k1, k2)
-        a2 = self._flatten_mm(self._swap(a1), tab["M2"])
-        # output index k = k2*n1 + k1 -> (..., k2, k1) then flatten
-        out = self._swap(a2)
-        return C(out.re.reshape(lead + (self.nx,)),
-                 out.im.reshape(lead + (self.nx,)))
+        return self._cdft(z, inverse)
 
     # -- public API --------------------------------------------------------
     def fft2(self, z: C) -> C:
@@ -318,10 +360,27 @@ class MXUTransform:
         return zh
 
     def fft2_real(self, x) -> C:
-        return self.fft2(C(x, jnp.zeros_like(x)))
+        """Full-spectrum transform of a real field.
+
+        Routed through ``rfft2`` + exact Hermitian expansion: ~3 dense
+        matmul units instead of 8 for a complex transform with a zero
+        imaginary plane. Odd ``nx`` falls back to the complex path.
+        """
+        if self.nx % 2:
+            return self.fft2(C(x, jnp.zeros_like(x)))
+        return expand_half_to_full(self.rfft2(x))
 
     def ifft2_real(self, zh: C):
-        return self.ifft2(zh).re
+        """``real(ifft2(zh))`` via Hermitian projection + ``irfft2``.
+
+        The projection is exactly what taking ``.real`` of the full inverse
+        computes (``spectral.hermitian_project``), so this matches the
+        reference's ``ifft(...).real`` semantics while doing ~3 matmul
+        units instead of 8.
+        """
+        if self.nx % 2:
+            return self.ifft2(zh).re
+        return self.irfft2(project_full_to_half(zh))
 
     def _real_mm_flat(self, x, M):
         """Real (…, K) @ (K, N) with leading axes flattened."""
@@ -332,17 +391,64 @@ class MXUTransform:
             out = out.reshape(shape[:-1] + (out.shape[-1],))
         return out
 
+    # -- even/odd real 1-D passes ------------------------------------------
+    @staticmethod
+    def _reflect_conj_1d(z: C) -> C:
+        """conj(Z[(n-k) % n]) along the last axis."""
+        re = jnp.roll(jnp.flip(z.re, axis=-1), 1, axis=-1)
+        im = -jnp.roll(jnp.flip(z.im, axis=-1), 1, axis=-1)
+        return C(re, im)
+
+    def _rdft_last_evenodd(self, x) -> C:
+        """Real DFT along the last axis keeping nk = nx//2+1 columns, via
+        one half-length complex DFT of ``x[0::2] + i*x[1::2]`` and the
+        exact (same-field) butterfly."""
+        u = C(x[..., 0::2], x[..., 1::2])
+        U = self._cdft_half(u, inverse=False)
+        Ur = self._reflect_conj_1d(U)
+        E = (U + Ur) * 0.5                 # DFT of the even samples
+        O = jmul(U - Ur, -0.5)             # DFT of the odd samples
+        Xm = E + O * self._w_f             # X[k], k in [0, nh)
+        # Nyquist column X[nh] = E[0] - O[0] = Re(U[0]) - Im(U[0]), real
+        ny_re = U.re[..., :1] - U.im[..., :1]
+        return C(jnp.concatenate([Xm.re, ny_re], axis=-1),
+                 jnp.concatenate([Xm.im, jnp.zeros_like(ny_re)], axis=-1))
+
+    def _irdft_last_evenodd(self, z: C):
+        """Inverse of :meth:`_rdft_last_evenodd`: half-spectrum rows
+        (..., nk) -> real (..., nx). Non-Hermitian residue in the input is
+        implicitly projected out, matching ``real(ifft(...))``."""
+        nh = self.nx // 2
+        Xm = C(z.re[..., :nh], z.im[..., :nh])
+        # conj(X[nh-k]), k in [0, nh): flip of columns 1..nh
+        Xr = C(jnp.flip(z.re[..., 1:nh + 1], axis=-1),
+               -jnp.flip(z.im[..., 1:nh + 1], axis=-1))
+        E = (Xm + Xr) * 0.5
+        O = ((Xm - Xr) * 0.5) * self._w_f.conj()   # W^{-k} * (...)
+        U = C(E.re - O.im, E.im + O.re)            # E + i*O
+        u = self._cdft_half(U, inverse=True)
+        # interleave: out[0::2] = Re(u), out[1::2] = Im(u)
+        lead = u.re.shape[:-1]
+        out = jnp.stack([u.re, u.im], axis=-1).reshape(lead + (self.nx,))
+        return out
+
+    # -- half-spectrum 2-D API ---------------------------------------------
     def rfft2(self, x) -> C:
-        # pass 1: real DFT along x keeping nk columns (2 real matmuls)
-        z = C(self._real_mm_flat(x, self._Rf[0]),
-              self._real_mm_flat(x, self._Rf[1]))
-        # pass 2: full complex DFT along y
+        # pass 1: real DFT along x keeping nk columns
+        if self.evenodd:
+            z = self._rdft_last_evenodd(x)
+        else:
+            z = C(self._real_mm_flat(x, self._Rf[0]),
+                  self._real_mm_flat(x, self._Rf[1]))
+        # pass 2: full complex DFT along y (on nk columns)
         return self._swap(self._dft_last(self._swap(z), inverse=False))
 
     def irfft2(self, zh: C):
         # pass 1: inverse complex DFT along y
         z = self._swap(self._dft_last(self._swap(zh), inverse=True))
-        # pass 2: Hermitian-weighted real reconstruction along x
+        # pass 2: real reconstruction along x
+        if self.evenodd:
+            return self._irdft_last_evenodd(z)
         return (self._real_mm_flat(z.re, self._Ri[0])
                 + self._real_mm_flat(z.im, self._Ri[1]))
 
@@ -353,8 +459,8 @@ def make_transform(nx: int, dtype, backend: str = "auto",
 
     ``backend='auto'`` selects MXU on TPU-like platforms (no complex
     support) and native FFT elsewhere. ``mxu_opts`` (``factors``,
-    ``use_pallas``, ``pallas_interpret``) pass through to MXUTransform and
-    are ignored for the native provider.
+    ``half_factors``, ``evenodd``, ``use_pallas``, ``pallas_interpret``)
+    pass through to MXUTransform and are ignored for the native provider.
     """
     if backend == "auto":
         plat = jax.default_backend()

@@ -39,33 +39,34 @@ def _herm_reflect_conj(zh: C) -> C:
     return C(refl(zh.re), -refl(zh.im))
 
 
-def pack_two_real(x, y) -> C:
-    """Pack two real fields into one complex field for a shared transform."""
-    return C(x, y)
-
-
-def unpack_two_real_hat(zh: C):
-    """Split fft(x + i*y) into (fft(x), fft(y)) via Hermitian symmetry:
-    X = (Z + Z*(-k))/2, Y = -i (Z - Z*(-k))/2 — the classic two-for-one
-    real-FFT trick, exact in exact arithmetic."""
-    zc = _herm_reflect_conj(zh)
-    xh = (zh + zc) * 0.5
-    yh = jmul(zh - zc, -0.5)
-    return xh, yh
-
-
-def combine_two_real_hat(ah: C, bh: C) -> C:
-    """A + i*B packed for a single inverse transform yielding (a, b) as
-    (re, im).
-
-    Both inputs are Hermitian-projected first: ``real(ifft(X)) ==
-    ifft(hermitian_part(X))`` exactly, and evolved spectra carry
-    non-Hermitian residue at the unpaired Nyquist modes which would
-    otherwise leak from one packed field into the other's imaginary slot.
+def expand_half_to_full(zh: C) -> C:
+    """Hermitian-expand a half-spectrum transform (..., ny, nx//2+1) of a
+    real field to the full spectrum (..., ny, nx) via
+    ``Z(l, k) = conj(Z(-l, -k))``. Exact (a gather, no arithmetic); only
+    defined for even ``nx``. Inverse of :func:`project_full_to_half` on
+    Hermitian inputs.
     """
-    ah = hermitian_project(ah)
-    bh = hermitian_project(bh)
-    return C(ah.re - bh.im, ah.im + bh.re)
+    nk = zh.shape[-1]
+    nh = nk - 1  # nx = 2*nh
+    src_re = zh.re[..., 1:nh]
+    src_im = zh.im[..., 1:nh]
+    # column j of the tail is k = nk + j -> source column nx - k = nh-1-j
+    # (flip), with the conjugate row reflection l -> (-l) % ny (flip+roll)
+    tail_re = jnp.roll(jnp.flip(src_re, axis=(-2, -1)), 1, axis=-2)
+    tail_im = -jnp.roll(jnp.flip(src_im, axis=(-2, -1)), 1, axis=-2)
+    return C(jnp.concatenate([zh.re, tail_re], axis=-1),
+             jnp.concatenate([zh.im, tail_im], axis=-1))
+
+
+def project_full_to_half(zh: C) -> C:
+    """First ``nx//2+1`` columns of the Hermitian projection of a
+    full-spectrum transform — the half-spectrum array whose ``irfft2`` is
+    exactly ``real(ifft2(zh))`` (the projection *is* what the reference's
+    ``.real`` takes, see :func:`hermitian_project`)."""
+    nk = zh.shape[-1] // 2 + 1
+    zc = _herm_reflect_conj(zh)
+    return C(0.5 * (zh.re + zc.re)[..., :nk],
+             0.5 * (zh.im + zc.im)[..., :nk])
 
 
 def zero_mean_mode(zh: C) -> C:

@@ -27,6 +27,28 @@ def _run(model_mod, fast, nsteps=8):
     return m
 
 
+def test_fast_mxu_evenodd_matches_native_f64():
+    """Full TPU execution path (batched kernel + matmul-DFT with the
+    even/odd real transforms forced) vs the native-FFT fast kernel, f64."""
+    a = _run(CoupledModel, fast=True, nsteps=4)
+    U0 = 0.05
+    m = CoupledModel.Model(
+        use_filter=False, U=-U0, tdiags=1, tmax=4 * 10000.0, fast=True,
+        backend="mxu",
+        transform_opts={"evenodd": True, "half_factors": (8, 8)},
+    )
+    k0 = 10 * (2 * np.pi / m.L)
+    q = ic.LambDipole(m, U=U0, R=2 * np.pi / k0)
+    phi = (np.ones_like(q) + 1j) * 5 * U0 / np.sqrt(2)
+    m.set_q(q)
+    m.set_phi(phi)
+    m.run()
+    qs = np.abs(a.q).max()
+    assert np.abs(a.q - m.q).max() < 1e-10 * qs
+    assert np.abs(np.asarray(a.phi) - np.asarray(m.phi)).max() < 1e-10
+    assert abs(a.Ke - m.Ke) < 1e-9 * abs(a.Ke)
+
+
 @pytest.mark.parametrize("model_mod", MODELS)
 def test_fast_matches_faithful(model_mod):
     a = _run(model_mod, fast=False)

@@ -104,3 +104,78 @@ class TestMXUTransform:
         got = mxu.fft2(C.from_complex(batch)).to_complex()
         want = np.fft.fft2(batch, axes=(-2, -1))
         assert np.abs(got - want).max() / np.abs(want).max() < 1e-12
+
+    def test_fft2_real_matches_full(self):
+        """fft2_real routes through rfft2 + Hermitian expansion; must equal
+        the full transform of the real field."""
+        mxu = MXUTransform(self.nx, np.float64)
+        got = mxu.fft2_real(np.asarray(self.x)).to_complex()
+        want = np.fft.fft2(self.x)
+        assert np.abs(got - want).max() / np.abs(want).max() < 1e-12
+
+    def test_ifft2_real_projects_non_hermitian(self):
+        """ifft2_real = real(ifft2(.)) even for spectra carrying
+        non-Hermitian residue (evolved Nyquist modes)."""
+        mxu = MXUTransform(self.nx, np.float64)
+        zh = np.fft.fft2(self.z)  # generic non-Hermitian spectrum
+        got = np.asarray(mxu.ifft2_real(C.from_complex(zh)))
+        want = np.fft.ifft2(zh).real
+        assert np.abs(got - want).max() / np.abs(want).max() < 1e-12
+
+
+@pytest.mark.parametrize("half_factors", [None, (8, 4)])
+@pytest.mark.parametrize("factors", [None, (8, 8)])
+class TestMXUEvenOdd:
+    """The even/odd real-transform path (the >=2048 TPU configuration),
+    forced on at nx=64 so it runs under CPU f64. ``half_factors=(8,4)``
+    additionally exercises the four-step half-length DFT (nh=32)."""
+
+    nx = 64
+
+    def _mk(self, factors, half_factors, dtype=np.float64, **kw):
+        return MXUTransform(self.nx, dtype, factors=factors,
+                            half_factors=half_factors, evenodd=True, **kw)
+
+    def setup_method(self):
+        rng = np.random.default_rng(45)
+        self.x = rng.standard_normal((self.nx, self.nx))
+        self.z = (rng.standard_normal((self.nx, self.nx))
+                  + 1j * rng.standard_normal((self.nx, self.nx)))
+
+    def test_rfft2_matches_numpy(self, factors, half_factors):
+        mxu = self._mk(factors, half_factors)
+        got = mxu.rfft2(np.asarray(self.x)).to_complex()
+        want = np.fft.rfft2(self.x)
+        assert np.abs(got - want).max() / np.abs(want).max() < 1e-12
+
+    def test_irfft2_roundtrip(self, factors, half_factors):
+        mxu = self._mk(factors, half_factors)
+        back = np.asarray(mxu.irfft2(mxu.rfft2(np.asarray(self.x))))
+        assert np.abs(back - self.x).max() < 1e-12
+
+    def test_fft2_real_and_ifft2_real(self, factors, half_factors):
+        mxu = self._mk(factors, half_factors)
+        got = mxu.fft2_real(np.asarray(self.x)).to_complex()
+        want = np.fft.fft2(self.x)
+        assert np.abs(got - want).max() / np.abs(want).max() < 1e-12
+        zh = np.fft.fft2(self.z)
+        got_r = np.asarray(mxu.ifft2_real(C.from_complex(zh)))
+        want_r = np.fft.ifft2(zh).real
+        assert np.abs(got_r - want_r).max() / np.abs(want_r).max() < 1e-12
+
+    def test_batched_real(self, factors, half_factors):
+        mxu = self._mk(factors, half_factors)
+        batch = np.stack([self.x, 2 * self.x, self.x[::-1]])
+        got = mxu.rfft2(np.asarray(batch)).to_complex()
+        want = np.fft.rfft2(batch, axes=(-2, -1))
+        assert np.abs(got - want).max() / np.abs(want).max() < 1e-12
+        back = np.asarray(mxu.irfft2(mxu.rfft2(np.asarray(batch))))
+        assert np.abs(back - batch).max() < 1e-12
+
+    def test_split_precision_f32(self, factors, half_factors):
+        mxu = self._mk(factors, half_factors, dtype=np.float32,
+                       precision="split")
+        got = mxu.rfft2(np.asarray(self.x.astype(np.float32))).to_complex()
+        want = np.fft.rfft2(self.x)
+        rel = np.abs(got - want).max() / np.abs(want).max()
+        assert rel < 5e-6, rel
