@@ -49,6 +49,7 @@ def main():
     nx = int(os.environ.get("NIWQG_BENCH_NX", "512"))
     nsteps = int(os.environ.get("NIWQG_BENCH_STEPS", "10"))
     mode = os.environ.get("NIWQG_BENCH_MODE", "scan")
+    budgets = os.environ.get("NIWQG_BENCH_BUDGETS", "1") != "0"
     timeout = int(os.environ.get("NIWQG_BENCH_TIMEOUT", "3000"))
     baseline_pts_per_s = 20.0 * 128 * 128  # reference: ~20 steps/s @ 128^2
     metric = f"coupled-step grid-points/s @ {nx}^2 ({jax.default_backend()})"
@@ -64,7 +65,7 @@ def main():
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from __graft_entry__ import _build_coupled
 
-    m = _build_coupled(nx=nx)
+    m = _build_coupled(nx=nx, compute_budgets=budgets)
 
     t0 = time.time()
     if mode == "scan":

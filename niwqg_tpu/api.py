@@ -17,6 +17,7 @@ import math
 from typing import Optional
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from . import diagnostics as diag_mod
@@ -89,6 +90,7 @@ class _ModelBase:
         # literals overflows the TPU remote-compile transport at 2048^2+
         self._step_h = None
         self._diag_h = None
+        self._refresh_h = None
         self._chunk_cache = {}
 
     def _step_fns(self):
@@ -104,12 +106,7 @@ class _ModelBase:
         return jit_g(consts, state)
 
     def _diag_jit(self, state, t_prev):
-        if self._diag_h is None:
-            from .utils.hoist import hoist
-
-            g, consts = hoist(self._diag_fn, state, t_prev)
-            self._diag_h = (jax.jit(g), consts)
-        jit_g, consts = self._diag_h
+        jit_g, _, consts = self._diag_hoisted()
         return jit_g(consts, state, t_prev)
 
     # -- pure helpers ------------------------------------------------------
@@ -127,6 +124,88 @@ class _ModelBase:
             jit_chunk = jax.jit(chunk)
             self._chunk_cache[n] = lambda s: jit_chunk(consts, s)
         return self._chunk_cache[n]
+
+    def _diag_hoisted(self):
+        if self._diag_h is None:
+            from .utils.hoist import hoist
+
+            g, consts = hoist(self._diag_fn, self.state, self.state.t)
+            self._diag_h = (jax.jit(g), g, consts)
+        return self._diag_h
+
+    @property
+    def _stale_grads(self) -> bool:
+        """True in the UnCoupled ``faithful_quirks`` mode: phi gradients
+        must be refreshed on the reference's diagnostics/print cadence."""
+        physics = getattr(self.kernel, "physics", None)
+        return bool(getattr(physics, "stale_phi_gradients", False))
+
+    def _refresh_fns(self):
+        if self._refresh_h is None:
+            from .utils.hoist import hoist
+
+            g, consts = hoist(self.kernel.refresh_phi_gradients, self.state)
+            self._refresh_h = (jax.jit(g), g, consts)
+        return self._refresh_h
+
+    def _refresh_jit(self, state):
+        jit_g, _, consts = self._refresh_fns()
+        return jit_g(consts, state)
+
+    def _chunk_with_diags(self, n: int):
+        """Compiled ``lax.scan`` of ``n`` steps with the diagnostics cadence
+        fused in: iterations whose *pre-step* counter hits ``tdiags``
+        (``niwqg/Diagnostics.py:41-43`` semantics) evaluate the registry
+        inside the scan via ``lax.cond``, so the host sees one dispatch per
+        chunk instead of one per step."""
+        key = ("diag", n)
+        if key not in self._chunk_cache:
+            _, g, consts = self._step_fns()
+            _, gd, dconsts = self._diag_hoisted()
+            tdiags = int(self.params.tdiags)
+            stale = self._stale_grads
+            if stale:
+                _, gr, rconsts = self._refresh_fns()
+            else:
+                gr, rconsts = None, ()
+
+            def chunk(consts_, dconsts_, rconsts_, s0):
+                def body(s, _):
+                    t_prev, tc_prev = s.t, s.tc
+                    s2 = g(consts_, s)
+                    sampled = (tc_prev % tdiags) == 0
+                    spec = jax.eval_shape(gd, dconsts_, s2, t_prev)
+                    vals = jax.lax.cond(
+                        sampled,
+                        lambda: gd(dconsts_, s2, t_prev),
+                        lambda: jax.tree.map(
+                            lambda sd: jnp.zeros(sd.shape, sd.dtype), spec),
+                    )
+                    if stale:
+                        # gradient refresh rides the diagnostics cadence
+                        # (after evaluation — reference lambda order)
+                        s2 = jax.lax.cond(
+                            sampled, lambda: gr(rconsts_, s2), lambda: s2)
+                    return s2, vals
+                return jax.lax.scan(body, s0, None, length=n)
+
+            jit_chunk = jax.jit(chunk)
+            self._chunk_cache[key] = (
+                lambda s: jit_chunk(consts, dconsts, rconsts, s))
+        return self._chunk_cache[key]
+
+    def _count_steps(self, tmax: float) -> int:
+        """Steps the reference's ``while t < tmax`` loop would take from the
+        current state, replicating the device's dtype-accurate ``t += dt``
+        accumulation so chunked and per-step runs stop identically."""
+        dtype = self.kernel.dtype
+        t = np.asarray(self.state.t, dtype=dtype)
+        dt = np.asarray(self.params.dt, dtype=dtype)
+        n = 0
+        while float(t) < tmax:
+            t = (t + dt).astype(dtype)
+            n += 1
+        return n
 
     # -- grid passthroughs (reference attribute surface) -------------------
     @property
@@ -209,13 +288,19 @@ class _ModelBase:
 
     def fft(self, x):
         """Host-side transform matching the model layout (user scripts)."""
-        if self.kernel.grid.spectrum == "half":
-            return np.fft.rfft2(x)
+        g = self.kernel.grid
+        if g.spectrum == "half":
+            xh = np.fft.rfft2(x)
+            if g.pad:
+                xh = np.pad(xh, [(0, 0)] * (xh.ndim - 1) + [(0, g.pad)])
+            return xh
         return np.fft.fft2(x)
 
     def ifft(self, xh):
-        if self.kernel.grid.spectrum == "half":
-            return np.fft.irfft2(xh, s=(self.ny, self.nx))
+        g = self.kernel.grid
+        if g.spectrum == "half":
+            return np.fft.irfft2(xh[..., : self.nx // 2 + 1],
+                                 s=(self.ny, self.nx))
         return np.fft.ifft2(xh)
 
     @property
@@ -236,6 +321,9 @@ class _ModelBase:
         """Restrict which diagnostics are evaluated/accumulated."""
         self.registry.set_active(names)
         self._diag_h = None  # re-trace with the new active set
+        # drop fused-diagnostic chunks compiled against the old active set
+        self._chunk_cache = {k: v for k, v in self._chunk_cache.items()
+                             if not (isinstance(k, tuple) and k[0] == "diag")}
 
     def spec_var(self, ph):
         """Host-side spec_var on a numpy complex transform array."""
@@ -244,7 +332,7 @@ class _ModelBase:
         if g.spectrum == "half":
             var_dens = 2.0 * var_dens
             var_dens[:, 0] *= 0.5
-            var_dens[:, -1] *= 0.5
+            var_dens[:, g.nx // 2] *= 0.5  # Nyquist (layout may be padded)
         var_dens[0, 0] = 0.0
         return var_dens.sum()
 
@@ -266,28 +354,90 @@ class _ModelBase:
         if tc_before % p.tdiags == 0:
             vals = self._diag_jit(self.state, t_prev)
             self._diag_acc.append(jax.device_get(vals))
+            if self._stale_grads:
+                # the reference's pe_niw diagnostic refreshes phix/phiy as
+                # a side effect (``niwqg/Kernel.py:608-611``), AFTER the
+                # conversion terms were evaluated with the stale ones
+                self.state = self._refresh_jit(self.state)
 
         tc_now = tc_before + 1
         if tc_now % p.twrite == 0:
             self._print_status()
+            if self._stale_grads:
+                # _print_status calls _calc_pe_niw (``Kernel.py:592``)
+                self.state = self._refresh_jit(self.state)
         if tc_now % p.tsave_snapshots == 0:
             self.saver.save_snapshot(self, self._snapshot_fields())
 
+    def _host_event_stride(self, extra_stride=None):
+        """Smallest cadence requiring host action between compiled chunks:
+        prints every ``twrite`` steps, snapshots every ``tsave_snapshots``
+        (only when saving to disk), plus any caller stride. Diagnostics do
+        NOT count — they are fused into the chunk."""
+        p = self.params
+        strides = [int(p.twrite)]
+        if self.saver.save_to_disk:
+            strides.append(int(p.tsave_snapshots))
+        if extra_stride:
+            strides.append(int(extra_stride))
+        return strides
+
+    def _advance_chunked(self, nsteps: int, extra_stride=None):
+        """Advance ``nsteps`` steps in compiled chunks that break exactly at
+        host-event boundaries (print/snapshot cadences), accumulating the
+        cadenced diagnostics sampled inside the scans. Yields the post-step
+        counter at every boundary so callers can interleave host actions."""
+        p = self.params
+        strides = self._host_event_stride(extra_stride)
+        done = 0
+        while done < nsteps:
+            tc0 = self.tc
+            n = nsteps - done
+            for m in strides:
+                # next post-step multiple of m strictly after tc0
+                n = min(n, (tc0 // m + 1) * m - tc0)
+            state, dvals = self._chunk_with_diags(n)(self.state)
+            self.state = state
+            dvals = jax.device_get(dvals)
+            for i in range(n):
+                if (tc0 + i) % p.tdiags == 0:
+                    self._diag_acc.append(
+                        {k: v[i] for k, v in dvals.items()})
+            done += n
+            tc_now = tc0 + n
+            if tc_now % p.twrite == 0:
+                self._print_status()
+                if self._stale_grads:
+                    # _print_status calls _calc_pe_niw (``Kernel.py:592``)
+                    self.state = self._refresh_jit(self.state)
+            if self.saver.save_to_disk and tc_now % p.tsave_snapshots == 0:
+                self.saver.save_snapshot(self, self._snapshot_fields())
+            yield tc_now
+
     def run(self):
-        """Run to ``tmax`` (``niwqg/Kernel.py:183-203``)."""
+        """Run to ``tmax`` (``niwqg/Kernel.py:183-203``).
+
+        Steps are executed as fused ``lax.scan`` chunks spanning the gaps
+        between host-visible cadence points (the per-step dispatch of the
+        naive loop costs ~1000x the step itself on the remote TPU backend,
+        ``bench.py`` notes); diagnostics/print/snapshot semantics are
+        identical to the reference's per-step loop (asserted by
+        ``tests/test_chunked_run.py``)."""
         if self.saver.save_to_disk:
             self.saver.save_snapshot(self, self._snapshot_fields())
-        while self.t < self.params.tmax:
-            self._step_forward()
+        for _ in self._advance_chunked(self._count_steps(self.params.tmax)):
+            pass
         if self.saver.save_to_disk:
             self.saver.save_diagnostics(self.diagnostics)
 
     def run_with_snapshots(self, tsnapstart=0.0, tsnapint=432000.0):
-        """Generator run loop (``niwqg/Kernel.py:161-181``)."""
-        tsnapints = np.ceil(tsnapint / self.params.dt)
-        while self.t < self.params.tmax:
-            self._step_forward()
-            if self.t >= tsnapstart and (self.tc % tsnapints) == 0:
+        """Generator run loop (``niwqg/Kernel.py:161-181``): yields at every
+        ``tsnapint`` once past ``tsnapstart`` so user code can inspect the
+        live model, with compiled chunks in between."""
+        tsnapints = int(np.ceil(tsnapint / self.params.dt))
+        total = self._count_steps(self.params.tmax)
+        for tc_now in self._advance_chunked(total, extra_stride=tsnapints):
+            if self.t >= tsnapstart and (tc_now % tsnapints) == 0:
                 yield self.t
 
     def run_steps(self, n: int):
@@ -324,7 +474,8 @@ class _WaveModel(_ModelBase):
                  overwrite=True, tsave_snapshots=10, tdiags=10,
                  path="output/", dtype=None, backend="auto",
                  precision="auto", mesh=None, fast=None,
-                 snapshot_format="h5", **kernel_kwargs):
+                 snapshot_format="h5", compute_budgets=True,
+                 **kernel_kwargs):
         del ny  # accepted but ignored, as in the reference (Kernel.py:101)
         if fast is None:
             # batched fast kernel by default on TPU-like backends
@@ -338,6 +489,7 @@ class _WaveModel(_ModelBase):
             U=U, f=f, N=N, m=m, g=g, nu4=nu4, nu4w=nu4w, nu=nu, nuw=nuw,
             mu=mu, muw=muw, use_filter=use_filter, dealias=dealias,
             tdiags=tdiags, tsave_snapshots=tsave_snapshots,
+            compute_budgets=compute_budgets,
         )
         dtype = dtype or _default_dtype()
         self._mesh = mesh
@@ -438,6 +590,15 @@ class _WaveModel(_ModelBase):
     def _diag_fn(self, state, t_prev):
         K = self.kernel
         src = K.stage_sources(state.qh, state.phih, state.d)
+        if self._stale_grads:
+            # reference diagnostic-lambda order (``Kernel.py:718-868``):
+            # pe_niw refreshes phix/phiy mid-iteration, so the ep_phi and
+            # chi_phi lambdas (registered later, and recomputing rather
+            # than reading stored values) see FRESH gradients while
+            # gamma/xi read the conversion terms computed with stale ones
+            d2 = K.refresh_phi_gradients(state).d
+            fresh = K.stage_sources(state.qh, state.phih, d2)
+            src = src._replace(ep_phi=fresh.ep_phi, chi_phi=fresh.chi_phi)
         aux = {"time": t_prev, "src": src}
         return self.registry.evaluate(K, state, aux)
 
@@ -475,10 +636,21 @@ class CoupledModel(_WaveModel):
 
 
 class UnCoupledModel(_WaveModel):
-    """YBJ waves on an evolving flow (``niwqg/UnCoupledModel.py``)."""
+    """YBJ waves on an evolving flow (``niwqg/UnCoupledModel.py``).
+
+    ``faithful_quirks=True`` reproduces the reference's stale-gradient
+    cadence bug-for-bug (golden parity); the default recomputes the wave
+    gradients every stage (the intended physics — see
+    ``models/uncoupled.py``)."""
 
     model = " Uncoupled Model"
     _physics_factory = staticmethod(UnCoupledPhysics)
+
+    def __init__(self, *args, faithful_quirks: bool = False, **kwargs):
+        if faithful_quirks:
+            self._physics_factory = (
+                lambda: UnCoupledPhysics(faithful_quirks=True))
+        super().__init__(*args, **kwargs)
 
 
 class QLModel(_WaveModel):
@@ -524,11 +696,11 @@ class QGModel(_ModelBase):
         self._mesh = mesh
         kw = {}
         if mesh is not None:
-            # the pencil transform has no half-spectrum path
+            # distributed transforms keep the reference's half-spectrum
+            # layout (pencil rfft pads columns to a mesh-divisible count)
             kw = dict(
                 transform=_make_sharded_transform(nx, dtype, mesh, backend,
                                                   precision),
-                spectrum="full",
             )
         self.kernel = QGKernel(self.params, dtype=dtype, backend=backend,
                                precision=precision, **kw)

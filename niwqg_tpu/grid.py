@@ -40,6 +40,11 @@ class Grid:
     spectrum: str = "full"  # 'full' | 'half'
     use_filter: bool = True
     dealias: bool = False
+    # extra zero columns appended to the half-spectrum layout so the
+    # distributed pencil transform's all_to_all gets an evenly divisible
+    # column count (``parallel/pfft.py``); padded columns carry k = 0 and
+    # always-zero data
+    pad: int = 0
 
     # ---- host-side (numpy, float64) -------------------------------------
     @property
@@ -69,7 +74,9 @@ class Grid:
 
     @property
     def nk(self) -> int:
-        return self.nx if self.spectrum == "full" else self.nx // 2 + 1
+        if self.spectrum == "full":
+            return self.nx
+        return self.nx // 2 + 1 + self.pad
 
     @cached_property
     def x_np(self) -> np.ndarray:
@@ -107,7 +114,10 @@ class Grid:
         """1-D zonal wavenumbers (layout-dependent)."""
         if self.spectrum == "full":
             return self.ll_np.copy()
-        return self.dk * np.arange(0.0, self.nk)
+        kk = self.dk * np.arange(0.0, self.nx // 2 + 1)
+        if self.pad:
+            kk = np.append(kk, np.zeros(self.pad))
+        return kk
 
     @cached_property
     def k_np(self) -> np.ndarray:
@@ -220,6 +230,8 @@ class Grid:
         if self.spectrum == "half":
             var_dens = 2.0 * var_dens
             var_dens = var_dens.at[:, 0].mul(0.5)
-            var_dens = var_dens.at[:, -1].mul(0.5)
+            # Nyquist column by explicit index (it is NOT the last column
+            # when the layout carries pencil padding)
+            var_dens = var_dens.at[:, self.nx // 2].mul(0.5)
         var_dens = var_dens.at[0, 0].set(0.0)
         return var_dens.sum()

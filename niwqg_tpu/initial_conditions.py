@@ -40,7 +40,9 @@ def _spec_var(model, ph):
     if ph.shape[-1] != ph.shape[-2]:  # half spectrum
         var_dens = 2.0 * var_dens
         var_dens[:, 0] *= 0.5
-        var_dens[:, -1] *= 0.5
+        # Nyquist column by explicit index (the layout may carry pencil
+        # padding beyond it; padded columns hold zeros)
+        var_dens[:, nx // 2] *= 0.5
     var_dens[0, 0] = 0.0
     return var_dens.sum()
 
@@ -48,14 +50,19 @@ def _spec_var(model, ph):
 def _fft(model, x):
     g = getattr(model, "grid", None)
     if g is not None and g.spectrum == "half":
-        return np.fft.rfft2(x)
+        xh = np.fft.rfft2(x)
+        pad = getattr(g, "pad", 0)
+        if pad:
+            xh = np.pad(xh, [(0, 0), (0, pad)])
+        return xh
     return np.fft.fft2(x)
 
 
 def _ifft(model, xh):
     g = getattr(model, "grid", None)
     if g is not None and g.spectrum == "half":
-        return np.fft.irfft2(xh)
+        nx = g.nx
+        return np.fft.irfft2(xh[..., : nx // 2 + 1], s=(nx, nx))
     return np.fft.ifft2(xh)
 
 

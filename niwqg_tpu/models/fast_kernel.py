@@ -38,11 +38,13 @@ class FastWaveKernel(WaveKernel):
     """Batched-transform wave kernel (Coupled / UnCoupled / QL physics)."""
 
     # ------------------------------------------------------------------
-    def derive(self, qh: C, phih: C) -> Derived:
+    def derive(self, qh: C, phih: C, prev=None) -> Derived:
         g, tr, p = self.grid, self.tr, self.params
 
         pg = tr.ifft2(stack([phih, mul_i(phih, g.k), mul_i(phih, g.l)]))
         phi, phix, phiy = unstack(pg, 3)
+        if self.physics.stale_phi_gradients and prev is not None:
+            phix, phiy = prev.phix, prev.phiy
 
         if self.physics.has_wave_pv:
             z = phix.conj() * phiy - phiy.conj() * phix

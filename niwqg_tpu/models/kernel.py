@@ -137,6 +137,12 @@ class WavePhysics:
     #                       q_psi = q, ``niwqg/Kernel.py:492-501``)
     has_wave_pv = False
     subtracts_wave_pv = False
+    # reference UnCoupledModel quirk: phi gradients are refreshed only by
+    # ``_calc_pe_niw`` (diagnostics every tdiags steps, status print every
+    # twrite steps, set_phi) — never per stage (``niwqg/Kernel.py:608-611``;
+    # UnCoupled's ``_invert`` at ``UnCoupledModel.py:54-64`` does not touch
+    # them, unlike Coupled's ``jacobian_phic_phi``)
+    stale_phi_gradients = False
 
     def invert(self, K: "WaveKernel", qh: C, phih: C, phi: C) -> Derived:
         raise NotImplementedError
@@ -188,11 +194,22 @@ class WaveKernel:
     # ------------------------------------------------------------------
     # derived-state computation (invert + rel. vorticity + velocities)
     # ------------------------------------------------------------------
-    def derive(self, qh: C, phih: C) -> Derived:
+    def derive(self, qh: C, phih: C, prev: Optional[Derived] = None) -> Derived:
         phi = self.tr.ifft2(phih)
         D = self.physics.invert(self, qh, phih, phi)
+        if self.physics.stale_phi_gradients and prev is not None:
+            # bug-for-bug mode: keep the carried gradients (see
+            # WavePhysics.stale_phi_gradients); refreshes happen only via
+            # refresh_phi_gradients on the reference's cadence
+            D = D._replace(phix=prev.phix, phiy=prev.phiy)
         u, v = spectral.velocities(self.tr, self.grid, D.ph)
         return D._replace(u=u, v=v)
+
+    def refresh_phi_gradients(self, s: WaveState) -> WaveState:
+        """The state mutation hidden inside the reference's
+        ``_calc_pe_niw`` (``niwqg/Kernel.py:608-611``)."""
+        phix, phiy = spectral.gradients(self.tr, self.grid, s.phih)
+        return s._replace(d=s.d._replace(phix=phix, phiy=phiy))
 
     # ------------------------------------------------------------------
     # per-stage computation: budget sources + nonlinear terms
@@ -292,21 +309,21 @@ class WaveKernel:
         qh = (cq.expch_h * qh0 + Fn0 * cq.Qh) * flt
         phih = (cw.expch_h * phih0 + Fn0w * cw.Qh) * flt
         qh1, phih1 = qh, phih
-        D = self.derive(qh, phih)
+        D = self.derive(qh, phih, s.d)
 
         # -- stage 2
         src2 = sources(qh, phih, D)
         Fna, Fnaw = self.nonlinear(qh, D)
         qh = (cq.expch_h * qh0 + Fna * cq.Qh) * flt
         phih = (cw.expch_h * phih0 + Fnaw * cw.Qh) * flt
-        D = self.derive(qh, phih)
+        D = self.derive(qh, phih, D)
 
         # -- stage 3
         src3 = sources(qh, phih, D)
         Fnb, Fnbw = self.nonlinear(qh, D)
         qh = (cq.expch_h * qh1 + (2.0 * Fnb - Fn0) * cq.Qh) * flt
         phih = (cw.expch_h * phih1 + (2.0 * Fnbw - Fn0w) * cw.Qh) * flt
-        D = self.derive(qh, phih)
+        D = self.derive(qh, phih, D)
 
         # -- stage 4 + final combination
         src4 = sources(qh, phih, D)
@@ -323,7 +340,7 @@ class WaveKernel:
         else:
             Ke, Pw, Kw = s.Ke, s.Pw, s.Kw
 
-        D = self.derive(qh, phih)
+        D = self.derive(qh, phih, D)
         return WaveState(
             t=s.t + dt, tc=s.tc + 1, qh=qh, phih=phih, d=D, Ke=Ke, Pw=Pw, Kw=Kw
         )

@@ -84,16 +84,19 @@ class QGKernel:
         self.params = params
         self.dtype = np.dtype(dtype)
         self.spectrum = spectrum
-        self.grid = Grid(
-            nx=params.nx, L=params.L, dtype=self.dtype, spectrum=spectrum,
-            use_filter=params.use_filter, dealias=params.dealias,
-        ).materialize()
         if transform is not None:
             self.tr = transform
         else:
             self.tr = make_transform(params.nx, self.dtype, backend,
                                      precision=precision,
                                      **(transform_opts or {}))
+        # the distributed pencil rfft pads the spectral column count up to
+        # a multiple of the mesh size; the grid mirrors that layout
+        pad = getattr(self.tr, "rfft_pad", 0) if spectrum == "half" else 0
+        self.grid = Grid(
+            nx=params.nx, L=params.L, dtype=self.dtype, spectrum=spectrum,
+            use_filter=params.use_filter, dealias=params.dealias, pad=pad,
+        ).materialize()
         # half-spectrum (rfft, the reference layout) or full-spectrum
         # (needed by the distributed pencil transform)
         if spectrum == "half":

@@ -5,12 +5,17 @@ Re-design of ``niwqg/UnCoupledModel.py``: plain inversion
 advected by the flow but exert no feedback (``q_psi = q``,
 ``niwqg/Kernel.py:492-501``).
 
-Intentional fix over the reference: the reference only refreshes the wave
-gradients ``phix/phiy`` when a diagnostic routine happens to run
-(``_calc_pe_niw``, ``niwqg/Kernel.py:608-611`` — every ``tdiags``/``twrite``
-steps), so its uncoupled advection term uses stale gradients. Here the
-gradients are recomputed from the current ``phih`` at every stage, which is
-the intended Young & Ben Jelloul physics.
+Intentional fix over the reference (default mode): the reference only
+refreshes the wave gradients ``phix/phiy`` when a diagnostic routine
+happens to run (``_calc_pe_niw``, ``niwqg/Kernel.py:608-611`` — every
+``tdiags``/``twrite`` steps), so its uncoupled advection term uses stale
+gradients. Here the gradients are recomputed from the current ``phih`` at
+every stage, which is the intended Young & Ben Jelloul physics.
+
+``faithful_quirks=True`` reproduces the reference bug-for-bug (for golden
+parity): gradients are carried through all four stages and refreshed only
+on the reference's cadence (see ``WavePhysics.stale_phi_gradients`` and
+the model shells' refresh hooks).
 """
 
 from __future__ import annotations
@@ -22,6 +27,9 @@ from .kernel import Derived, WaveKernel, WavePhysics
 
 class UnCoupledPhysics(WavePhysics):
     name = "Uncoupled Model"
+
+    def __init__(self, faithful_quirks: bool = False):
+        self.stale_phi_gradients = bool(faithful_quirks)
 
     def invert(self, K: WaveKernel, qh: C, phih: C, phi: C) -> Derived:
         g, tr = K.grid, K.tr

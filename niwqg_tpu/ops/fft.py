@@ -33,6 +33,8 @@ butterfly only ever mixes a field with itself.
 
 from __future__ import annotations
 
+import warnings
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -231,6 +233,17 @@ class MXUTransform:
         if precision == "auto":
             # f64/CPU: plain dot is exact enough; f32/TPU: recover via split
             precision = "split" if self.dtype == np.float32 else "f32"
+        if precision == "fast" and self.dtype == np.float32:
+            # measured: single-pass bf16-grade transforms (~2.6e-3 rel err)
+            # NaN the coupled physics within tens of steps (PERFORMANCE.md)
+            warnings.warn(
+                "MXUTransform precision='fast' runs single-pass bf16-grade "
+                "matmuls (~2.6e-3 relative error); f32 simulations are known "
+                "to go NaN with it. Use the default 'split' (3 passes, "
+                "~1e-5) or 'split3' (6 passes, ~f32) unless you have "
+                "validated your configuration.",
+                stacklevel=3,
+            )
         self.precision = precision
         self._mm = {"split": _mm_split, "split3": _mm_split3,
                     "fast": _mm_plain, "f32": _mm_plain}[precision]

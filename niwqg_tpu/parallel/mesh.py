@@ -76,8 +76,17 @@ def shard_wave_state(state, mesh: Mesh):
 
 
 def shard_qg_state(state, mesh: Mesh):
-    """Place a QGState on the mesh (full-spectrum layout)."""
+    """Place a QGState on the mesh (full- or half-spectrum layout).
+
+    Spectral arrays are column-sharded when the column count divides the
+    mesh (the pencil layout; padded by ``PencilTransform.rfft_pad``), and
+    row-sharded otherwise (the un-padded half-spectrum MXU/GSPMD path,
+    where ``device_put`` cannot split nk = nx//2+1 columns evenly but the
+    matmul-DFT partitions fine from row shardings)."""
     ps, ss, rs = phys_sharding(mesh), spec_sharding(mesh), scalar_sharding(mesh)
+    nP = mesh.shape[AXIS]
+    if state.qh.re.shape[-1] % nP != 0:
+        ss = ps
 
     def put_c(z: C, sh):
         return C(_put(z.re, sh), _put(z.im, sh))

@@ -13,6 +13,12 @@ elementwise algebra runs in that layout and the inverse transform undoes it,
 so exactly two all-to-alls ride the interconnect per fft/ifft pair — the
 minimum for a pencil decomposition.
 
+The half-spectrum pair ``rfft2``/``irfft2`` (the reference QGModel's native
+layout, ``niwqg/QGModel.py:551-552``) works the same way with the local
+x-pass as an rfft; because ``nk = nx//2+1`` is never divisible by the mesh
+size, the spectral layout pads with ``rfft_pad`` zero columns up to the
+next multiple (mirrored by ``Grid.pad`` so wavenumber arrays line up).
+
 Provider API matches ``NativeTransform``/``MXUTransform`` so the model
 kernels are oblivious to distribution. This provider requires a complex-
 capable backend (CPU/GPU meshes); on TPU meshes use ``MXUTransform`` whose
@@ -82,6 +88,38 @@ class PencilTransform:
             inv_local, mesh=mesh, in_specs=(spec, spec), out_specs=(phys, phys)
         )
 
+        # -- half-spectrum (rfft) pencil -------------------------------
+        # nk = nx//2+1 is never divisible by the mesh size, so the spectral
+        # layout pads with zero columns up to the next multiple of P before
+        # the all_to_all; the padded columns carry k = 0 and zero data (the
+        # model grid is built with the same ``pad``, see Grid.pad).
+        nk = self.nk_half
+        self.rfft_pad = (-nk) % self.nP
+        nk_pad = nk + self.rfft_pad
+
+        def rfwd_local(x):
+            z = jnp.fft.rfft(x.astype(self.dtype), axis=-1)
+            padw = [(0, 0)] * (z.ndim - 1) + [(0, nk_pad - nk)]
+            z = jnp.pad(z, padw)
+            z = lax.all_to_all(z, ax, split_axis=z.ndim - 1,
+                               concat_axis=z.ndim - 2, tiled=True)
+            z = jnp.fft.fft(z, axis=-2)
+            return jnp.real(z), jnp.imag(z)
+
+        def rinv_local(zre, zim):
+            z = lax.complex(zre, zim)
+            z = jnp.fft.ifft(z, axis=-2)
+            z = lax.all_to_all(z, ax, split_axis=z.ndim - 2,
+                               concat_axis=z.ndim - 1, tiled=True)
+            return jnp.fft.irfft(z[..., :nk], n=nx, axis=-1)
+
+        self._rfwd = jax.shard_map(
+            rfwd_local, mesh=mesh, in_specs=(phys,), out_specs=(spec, spec)
+        )
+        self._rinv = jax.shard_map(
+            rinv_local, mesh=mesh, in_specs=(spec, spec), out_specs=phys
+        )
+
     # -- provider API ------------------------------------------------------
     def fft2(self, z: C) -> C:
         re, im = self._fwd(z.re, z.im)
@@ -97,16 +135,12 @@ class PencilTransform:
     def ifft2_real(self, zh: C):
         return self.ifft2(zh).re
 
-    # half-spectrum entry points intentionally unimplemented: the
-    # distributed QG path runs in the full-spectrum layout (see
-    # ``QGKernel`` docs); implementing a padded half-spectrum pencil is a
-    # planned optimisation.
-    def rfft2(self, x):
-        raise NotImplementedError(
-            "PencilTransform has no half-spectrum path; use spectrum='full'"
-        )
+    def rfft2(self, x) -> C:
+        """Half-spectrum forward, output ``(ny, nk + rfft_pad)``
+        column-sharded (the reference QGModel's native rfft layout,
+        ``niwqg/QGModel.py:551-552``, pencil-distributed)."""
+        re, im = self._rfwd(x)
+        return C(re, im)
 
-    def irfft2(self, zh):
-        raise NotImplementedError(
-            "PencilTransform has no half-spectrum path; use spectrum='full'"
-        )
+    def irfft2(self, zh: C):
+        return self._rinv(zh.re, zh.im)

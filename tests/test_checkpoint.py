@@ -25,9 +25,11 @@ def _make_model(tmax):
 def test_checkpoint_resume_bitwise(tmp_path):
     dt = 10000.0
 
-    # uninterrupted 10-step run
+    # uninterrupted 10-step run (per-step path: bitwise comparability with
+    # the per-step resumed run; run()'s fused scans differ at ulp level)
     ref = _make_model(10 * dt)
-    ref.run()
+    while ref.t < ref.params.tmax:
+        ref._step_forward()
 
     # 5 steps, checkpoint, restore into a fresh model, 5 more steps
     a = _make_model(10 * dt)

@@ -20,8 +20,11 @@ def _make(tmax):
 
 def test_qg_checkpoint_resume_bitwise(tmp_path):
     dt = 10000.0
+    # per-step path for bitwise comparability (run()'s fused scans differ
+    # at ulp level)
     ref = _make(8 * dt)
-    ref.run()
+    while ref.t < ref.params.tmax:
+        ref._step_forward()
 
     a = _make(8 * dt)
     for _ in range(4):

@@ -103,6 +103,45 @@ def test_qg_model_parity():
         assert np.abs(a - b).max() / scale < 1e-10, name
 
 
+def test_uncoupled_model_parity():
+    """UnCoupled (YBJ waves on evolving flow) with ``faithful_quirks=True``
+    reproducing the reference's stale-gradient cadence
+    (``niwqg/UnCoupledModel.py:54-64`` + ``niwqg/Kernel.py:608-611``)."""
+    from niwqg import UnCoupledModel as RefUnc
+    from niwqg import InitialConditions as ric
+
+    from niwqg_tpu import UnCoupledModel
+
+    U0 = 0.05
+    # tdiags=3 deliberately off-cadence from twrite so the test covers the
+    # tdiags-refresh AND the steps in between that keep stale gradients
+    kw = dict(use_filter=False, U=-U0, tdiags=3, tmax=NSTEPS * DT)
+    ref = RefUnc.Model(**kw)
+    k0 = 10 * (2 * np.pi / ref.L)
+    q = ric.LambDipole(ref, U=U0, R=2 * np.pi / k0)
+    phi = np.asarray(ric.WavePacket(ref, k=2 * k0, l=0, R=2 * np.pi / k0,
+                                    x0=ref.L / 2, y0=ref.L / 2))
+    ref.set_q(q)
+    ref.set_phi(phi)
+    ref.run()
+
+    m = UnCoupledModel.Model(faithful_quirks=True, **kw)
+    m.set_q(q)
+    m.set_phi(phi)
+    m.run()
+
+    assert np.abs(ref.q - m.q).max() < 1e-12 * np.abs(ref.q).max()
+    assert np.abs(ref.phi - m.phi).max() < 1e-12 * np.abs(ref.phi).max()
+    assert abs(ref.Ke - m.Ke) < 1e-12 * abs(ref.Ke)
+    for name in ref.diagnostics:
+        a = np.asarray(ref.diagnostics[name]["value"], dtype=np.complex128)
+        b = np.asarray(m.diagnostics[name]["value"], dtype=np.complex128)
+        scale = np.abs(a).max() + 1e-300
+        # absolute floor: skew of the antisymmetric dipole is ~0 with
+        # catastrophic cancellation, pure rounding noise on both sides
+        assert np.abs(a - b).max() < 1e-10 * scale + 1e-13, name
+
+
 def test_ybj_model_parity():
     """YBJ wave-only evolution on a frozen dipole flow (faithful quirks)."""
     from niwqg import YBJModel as RefYBJ

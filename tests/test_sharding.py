@@ -37,6 +37,22 @@ def test_pencil_fft_matches_fft2(mesh, rng):
     assert np.abs(back - z).max() < 1e-13
 
 
+def test_pencil_rfft_matches_rfft2(mesh, rng):
+    """Half-spectrum pencil path: padded columns beyond nk are zero."""
+    nx = 64
+    x = rng.standard_normal((nx, nx))
+    tr = PencilTransform(nx, np.float64, mesh)
+    nk = nx // 2 + 1
+    assert tr.rfft_pad == (-nk) % NDEV
+    got = tr.rfft2(x).to_complex()
+    assert got.shape == (nx, nk + tr.rfft_pad)
+    want = np.fft.rfft2(x)
+    assert np.abs(got[:, :nk] - want).max() / np.abs(want).max() < 1e-13
+    assert np.abs(got[:, nk:]).max() == 0.0
+    back = np.asarray(tr.irfft2(tr.rfft2(x)))
+    assert np.abs(back - x).max() < 1e-13
+
+
 def _coupled(mesh=None, nsteps=5):
     U0 = 0.05
     m = CoupledModel.Model(use_filter=False, U=-U0, tdiags=1,
@@ -78,9 +94,53 @@ def test_qg_sharded_equals_single(mesh):
         return m
 
     a, b = build(None), build(mesh)
-    # the sharded QG path runs in the full-spectrum layout, so rounding
-    # differs slightly from the single-device rfft path: compare at 1e-11
+    # both run the reference's half-spectrum rfft layout (the pencil path
+    # pads spectral columns); same arithmetic, reordered reductions
+    assert b.kernel.grid.spectrum == "half" and b.kernel.grid.pad > 0
     scale = np.abs(a.q).max()
-    assert np.abs(a.q - b.q).max() < 1e-11 * scale
-    assert abs(a.Ke - b.Ke) < 1e-11 * abs(a.Ke)
-    assert abs(a.cvar - b.cvar) < 1e-10 * (abs(a.cvar) + 1e-300)
+    assert np.abs(a.q - b.q).max() < 1e-13 * scale
+    assert abs(a.Ke - b.Ke) < 1e-12 * abs(a.Ke)
+    assert abs(a.cvar - b.cvar) < 1e-11 * (abs(a.cvar) + 1e-300)
+
+
+def test_coupled_mxu_mesh_equals_single(mesh):
+    """The TPU multi-chip story: MXUTransform matmul-DFTs partitioned by
+    GSPMD from the mesh shardings (no shard_map). f64 on the virtual CPU
+    mesh; must reproduce the single-device MXU run to rounding error."""
+    def build(mesh):
+        U0 = 0.05
+        m = CoupledModel.Model(use_filter=False, U=-U0, tdiags=1,
+                               tmax=3 * 10000.0, mesh=mesh, backend="mxu",
+                               dtype=np.float64, fast=True)
+        k0 = 10 * (2 * np.pi / m.L)
+        q = ic.LambDipole(m, U=U0, R=2 * np.pi / k0)
+        m.set_q(q)
+        m.set_phi((np.ones_like(q) + 1j) * 2 * U0 / np.sqrt(2))
+        m.run()
+        return m
+
+    a, b = build(None), build(mesh)
+    scale = np.abs(a.q).max()
+    assert np.abs(a.q - b.q).max() < 1e-10 * scale
+    assert np.abs(np.asarray(a.phi) - np.asarray(b.phi)).max() < 1e-10
+    assert abs(a.Ke - b.Ke) < 1e-10 * abs(a.Ke)
+
+
+def test_qg_mxu_mesh_equals_single(mesh):
+    """MXU provider under a mesh keeps the half-spectrum layout (rfft_pad
+    is 0: GSPMD pads internally, no grid padding needed)."""
+    def build(mesh):
+        U0 = 0.05
+        m = QGModel.Model(use_filter=False, U=-U0, tdiags=1,
+                          tmax=3 * 10000.0, mesh=mesh, backend="mxu",
+                          dtype=np.float64)
+        k0 = 10 * (2 * np.pi / m.L)
+        m.set_q(ic.LambDipole(m, U=U0, R=2 * np.pi / k0))
+        m.run()
+        return m
+
+    a, b = build(None), build(mesh)
+    assert b.kernel.grid.spectrum == "half" and b.kernel.grid.pad == 0
+    scale = np.abs(a.q).max()
+    assert np.abs(a.q - b.q).max() < 1e-10 * scale
+    assert abs(a.Ke - b.Ke) < 1e-10 * abs(a.Ke)
