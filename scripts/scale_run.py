@@ -35,16 +35,23 @@ def main():
     k0 = 10 * (2 * np.pi / L)
     Te = (U0 * k0) ** -1
     dt = 0.025 * Te
-    # resolution-appropriate hyperviscosity (~ reference example scaled)
-    nu4 = 5e11 * (128.0 / nx) ** 3
+    # resolution-appropriate dissipation, scaled from the stable flagship
+    # 128² example (examples/LambDipole.py: nu4=5e11, nu=20, nuw=50):
+    # hyperviscosity ~ dx^3, Laplacian viscosities ~ dx^2. The previous
+    # nu4w-only scaling left the wave field essentially undamped and the
+    # configuration blew up at 512² even in float64 with native FFTs —
+    # a parameter instability, not a solver property.
+    s = 128.0 / nx
+    nu4 = 5e11 * s**3
 
     # filter OFF so the budget is exactly closed (the exponential filter's
-    # dissipation is untracked by the budget, in the reference too);
-    # resolution-scaled hyperviscosity handles the small scales
+    # dissipation is untracked by the budget, in the reference too); the
+    # nu/nuw Laplacian dissipation is tracked by ep_psi/chi_phi/ep_phi so
+    # closure remains exact
     m = CoupledModel.Model(
         L=L, nx=nx, tmax=nsteps * dt, dt=dt, m=2 * np.pi / 280, N=0.01,
-        f=1e-4, nu4=nu4, nu4w=nu4, nu=0, nuw=0, use_filter=False,
-        U=-U0, tdiags=nsteps + 1,
+        f=1e-4, nu4=nu4, nu4w=0, nu=20.0 * s**2, nuw=50.0 * s**2,
+        use_filter=False, U=-U0, tdiags=nsteps + 1,
     )
     q = ic.LambDipole(m, U=U0, R=2 * np.pi / k0)
     m.set_q(q)
