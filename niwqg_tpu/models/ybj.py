@@ -22,7 +22,7 @@ import dataclasses
 import jax.numpy as jnp
 import numpy as np
 
-from ..carray import C, jmul
+from ..carray import C, jmul, mul_i, stack, unstack
 from ..etdrk4 import build_coefs, linear_operator_phi
 from ..ops import spectral
 from .kernel import Derived, KernelParams, WaveKernel, WavePhysics, WaveState
@@ -54,37 +54,45 @@ class YBJKernel(WaveKernel):
                          transform_opts=transform_opts)
         self.faithful_quirks = faithful_quirks
 
-    def _ybj_nonlinear(self, phih: C, phi: C, s: WaveState):
-        """-J(psi,phi)hat - 0.5j*fft(phi*q_psi) with frozen u,v,q_psi."""
+    def _ybj_nonlinear(self, phih: C, s: WaveState):
+        """-J(psi,phi)hat - 0.5j*fft(phi*q_psi) with frozen u,v,q_psi.
+
+        Transforms are batched (leading-axis stacking) so each stage issues
+        one inverse and one forward call — on the MXU matmul-DFT path the
+        flattened matmuls are ~2-3x larger than per-field calls."""
         g, tr = self.grid, self.tr
-        phix, phiy = spectral.gradients(tr, g, phih)
-        jacw = spectral.jacobian_psi_phi_hat(tr, s.d.u, s.d.v, phix, phiy,
-                                             zero_mean=False)
-        refr = jmul(tr.fft2(phi * s.d.q_psi), 0.5)
-        return -jacw - refr
+        if self.faithful_quirks:
+            # the physical phi entering refraction is only refreshed at the
+            # END of a step (``YBJModel.py:87``): stages use the carried one
+            grads = tr.ifft2(stack([mul_i(phih, g.k), mul_i(phih, g.l)]))
+            phix, phiy = unstack(grads, 2)
+            phi = s.d.phi
+        else:
+            b = tr.ifft2(stack([phih, mul_i(phih, g.k), mul_i(phih, g.l)]))
+            phi, phix, phiy = unstack(b, 3)
+        nl = tr.fft2(stack([phix * s.d.u + phiy * s.d.v,
+                            phi * s.d.q_psi]))
+        jacw, refr = unstack(nl, 2)
+        # no mean-mode zeroing (``YBJModel.py:123-133``)
+        return -jacw - jmul(refr, 0.5)
 
     def step(self, s: WaveState) -> WaveState:
         cw = self.coefs_w
         flt = self.grid.filtr
         dt = self._s(self.params.dt)
 
-        def stage_phi(phih):
-            if self.faithful_quirks:
-                return s.d.phi
-            return self.tr.ifft2(phih)
-
         phih0 = s.phih
-        Fn0w = self._ybj_nonlinear(phih0, stage_phi(phih0), s)
+        Fn0w = self._ybj_nonlinear(phih0, s)
         phih = (cw.expch_h * phih0 + Fn0w * cw.Qh) * flt
         phih1 = phih
 
-        Fnaw = self._ybj_nonlinear(phih, stage_phi(phih), s)
+        Fnaw = self._ybj_nonlinear(phih, s)
         phih = (cw.expch_h * phih0 + Fnaw * cw.Qh) * flt
 
-        Fnbw = self._ybj_nonlinear(phih, stage_phi(phih), s)
+        Fnbw = self._ybj_nonlinear(phih, s)
         phih = (cw.expch_h * phih1 + (2.0 * Fnbw - Fn0w) * cw.Qh) * flt
 
-        Fncw = self._ybj_nonlinear(phih, stage_phi(phih), s)
+        Fncw = self._ybj_nonlinear(phih, s)
         phih = (cw.expch * phih0 + Fn0w * cw.f0 + 2.0 * (Fnaw + Fnbw) * cw.fab
                 + Fncw * cw.fc) * flt
 
