@@ -18,7 +18,9 @@ Methodology notes for the target TPU backend:
     selects per-step dispatch for debugging.
 
 Environment knobs:
-  NIWQG_BENCH_NX       grid size (default 512)
+  NIWQG_BENCH_NX       grid size (default 2048 — the BASELINE.md
+                       north-star size; 512 is latency- not
+                       compute-bound on this backend)
   NIWQG_BENCH_STEPS    timed steps (default 10)
   NIWQG_BENCH_MODE     'scan' (default) | 'step'
   NIWQG_BENCH_TIMEOUT  overall seconds before emitting a failure line
@@ -46,7 +48,7 @@ def _emit(metric, value, vs):
 def main():
     import jax
 
-    nx = int(os.environ.get("NIWQG_BENCH_NX", "512"))
+    nx = int(os.environ.get("NIWQG_BENCH_NX", "2048"))
     nsteps = int(os.environ.get("NIWQG_BENCH_STEPS", "10"))
     mode = os.environ.get("NIWQG_BENCH_MODE", "scan")
     budgets = os.environ.get("NIWQG_BENCH_BUDGETS", "1") != "0"
