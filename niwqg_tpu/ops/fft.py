@@ -14,10 +14,13 @@ re/im pairs with arbitrary leading batch axes ``(..., ny, nx)``:
     FFT op, so the DFT is evaluated as dense matrix products riding the MXU:
     ``Zh = F @ Z @ F`` with the symmetric DFT matrix ``F[a,b] =
     exp(-2*pi*i*a*b/n)``. Complex algebra is expanded into real matmuls.
-    Because the MXU's native f32 matmul on this backend is bf16-grade, the
-    default ``precision='split'`` mode splits each operand into
-    bf16 hi/lo parts and recovers ~f32 accuracy with 3 matmuls
-    (Ootomo-style error-free-ish transformation).
+    Because the MXU's native f32 matmul on this backend is bf16-grade
+    (~2.5e-3 relative), the default f32 ``precision='high'`` issues each
+    dot at ``lax.Precision.HIGH`` — the hardware's internal multi-pass
+    bf16 recovery (~1.4e-5). The explicit Ootomo-style modes remain:
+    ``'split'`` (bit-masked bf16 hi/lo operands, 3 matmuls, ~1e-5 — same
+    grade as 'high' but ~2x slower since the row operand is read three
+    times) and ``'split3'`` (6 matmuls, ~f32).
 
 Real-field transforms (``rfft2``/``irfft2`` and the full-spectrum
 ``fft2_real``/``ifft2_real``) exploit realness *within a single field* via
@@ -136,6 +139,18 @@ def _mm_plain(a, b):
     return jnp.dot(a, b[0], preferred_element_type=a.dtype)
 
 
+def _mm_high(a, b):
+    """One matmul op at ``lax.Precision.HIGH``.
+
+    On the target TPU backend HIGH lowers to the hardware's internal
+    multi-pass bf16 scheme (~1.4e-5 relative — same grade as the explicit
+    3-matmul mask-split) but reads each operand once and keeps the pass
+    accumulation on-chip instead of materialising hi/lo operand copies.
+    """
+    return jnp.dot(a, b[0], precision=jax.lax.Precision.HIGH,
+                   preferred_element_type=a.dtype)
+
+
 def _auto_factors(nx: int, min_n: int = 2048):
     """Pick (n1, n2) for the four-step factorization, or None for dense.
 
@@ -171,8 +186,8 @@ class _CDFT:
         if factors is None:
             F = np.exp(-2j * np.pi * np.outer(a, a) / n)
             G = np.conj(F) / n  # inverse, 1/n folded
-            self._F = (owner._const(F.real), owner._const(F.imag))
-            self._G = (owner._const(G.real), owner._const(G.imag))
+            self._F = owner._cconst(F.real, F.imag)
+            self._G = owner._cconst(G.real, G.imag)
         else:
             n1, n2 = factors
             assert n1 * n2 == n, (n1, n2, n)
@@ -226,31 +241,45 @@ class MXUTransform:
 
     def __init__(self, nx: int, dtype=np.float32, precision: str = "auto",
                  factors="auto", half_factors="auto", evenodd="auto",
+                 gauss="auto",
                  use_pallas: bool = False, pallas_interpret: bool = False):
         self.nx = nx
         self.dtype = np.dtype(dtype)
         self.nk_half = nx // 2 + 1
         if precision == "auto":
-            # f64/CPU: plain dot is exact enough; f32/TPU: recover via split
-            precision = "split" if self.dtype == np.float32 else "f32"
+            # f64/CPU: plain dot is exact enough. f32/TPU: Precision.HIGH —
+            # the hardware's internal multi-pass bf16 (~1.4e-5 relative,
+            # same grade as the explicit 3-matmul mask-split) at ~1/2 the
+            # wall time of 'split' because each operand is read once and
+            # pass accumulation stays on-chip (measured: 2048 c64-equiv
+            # roundtrip 1.85 vs 3.88 ms/slice; full coupled step 9.20 vs
+            # 5.24 steps/s at 2048²; 100-step 4096² budget closure holds)
+            precision = "high" if self.dtype == np.float32 else "f32"
         if precision == "fast" and self.dtype == np.float32:
             # measured: single-pass bf16-grade transforms (~2.6e-3 rel err)
             # NaN the coupled physics within tens of steps (PERFORMANCE.md)
             warnings.warn(
                 "MXUTransform precision='fast' runs single-pass bf16-grade "
                 "matmuls (~2.6e-3 relative error); f32 simulations are known "
-                "to go NaN with it. Use the default 'split' (3 passes, "
-                "~1e-5) or 'split3' (6 passes, ~f32) unless you have "
-                "validated your configuration.",
+                "to go NaN with it. Use the default 'high' (~1.4e-5), "
+                "'split' (3 explicit passes, ~1e-5) or 'split3' (6 passes, "
+                "~f32) unless you have validated your configuration.",
                 stacklevel=3,
             )
         self.precision = precision
         self._mm = {"split": _mm_split, "split3": _mm_split3,
-                    "fast": _mm_plain, "f32": _mm_plain}[precision]
+                    "fast": _mm_plain, "f32": _mm_plain,
+                    "high": _mm_high}[precision]
         self.factors = _auto_factors(nx) if factors == "auto" else factors
         # fused Pallas complex-split matmul (TPU; 'split' precision only)
         self.use_pallas = bool(use_pallas) and precision == "split" \
             and self.dtype == np.float32
+        if gauss == "auto":
+            # measured: ~19% faster real-transform roundtrips at 2048 under
+            # 'high', a wash on pure-complex ones; exact same arithmetic
+            # grade (tests hold at 1e-12 in f64)
+            gauss = self.dtype == np.float32
+        self.gauss = bool(gauss) and not self.use_pallas
         self.pallas_interpret = pallas_interpret
 
         self._cdft = _CDFT(self, nx, self.factors)
@@ -297,10 +326,24 @@ class MXUTransform:
 
     def _four_tables(self, M1, M2, T):
         return {
-            "M1": (self._const(M1.real), self._const(M1.imag)),
-            "M2": (self._const(M2.real), self._const(M2.imag)),
+            "M1": self._cconst(M1.real, M1.imag),
+            "M2": self._cconst(M2.real, M2.imag),
             "T": C.from_complex(T, dtype=self.dtype),
         }
+
+    def _cconst(self, Mre: np.ndarray, Mim: np.ndarray):
+        """Pre-split representation of a complex constant matrix.
+
+        Standard form is the pair ``(const(Re), const(Im))`` consumed by the
+        4-real-matmul product in :meth:`_right_mul`. With ``gauss=True`` it
+        is a dict of the three Gauss-trick combinations ``Re``, ``Im - Re``,
+        ``Im + Re`` so a complex product costs 3 real matmuls instead of 4
+        (constants folded at trace time; exact same result up to rounding).
+        """
+        if self.gauss:
+            return {"c": self._const(Mre), "s2": self._const(Mim - Mre),
+                    "s3": self._const(Mim + Mre)}
+        return (self._const(Mre), self._const(Mim))
 
     def _const(self, m: np.ndarray):
         m = jnp.asarray(m.astype(self.dtype))
@@ -319,8 +362,18 @@ class MXUTransform:
         return n
 
     def _right_mul(self, z: C, M) -> C:
-        """(z @ M) for complex z pair and complex constant M=(Mr, Mi),
-        where Mr/Mi are pre-split tuples."""
+        """(z @ M) for complex z pair and a complex constant in either
+        :meth:`_cconst` form (pair of pre-split tuples, or Gauss dict)."""
+        mm = self._mm
+        if isinstance(M, dict):
+            # Gauss 3-multiplication product: for (a+bi)(c+di) with the
+            # constant combinations c, d-c, c+d precomputed,
+            #   t1 = (a+b)c, t2 = a(d-c), t3 = b(c+d)
+            #   re = t1 - t3, im = t1 + t2
+            t1 = mm(z.re + z.im, M["c"])
+            t2 = mm(z.re, M["s2"])
+            t3 = mm(z.im, M["s3"])
+            return C(t1 - t3, t1 + t2)
         Mr, Mi = M
         if self.use_pallas and z.re.ndim == 2:
             K = z.re.shape[1]
@@ -336,7 +389,6 @@ class MXUTransform:
                                        tm=tm, tn=tn, tk=tk,
                                        interpret=self.pallas_interpret)
                 return C(re, im)
-        mm = self._mm
         re = mm(z.re, Mr) - mm(z.im, Mi)
         im = mm(z.re, Mi) + mm(z.im, Mr)
         return C(re, im)
@@ -472,8 +524,9 @@ def make_transform(nx: int, dtype, backend: str = "auto",
 
     ``backend='auto'`` selects MXU on TPU-like platforms (no complex
     support) and native FFT elsewhere. ``mxu_opts`` (``factors``,
-    ``half_factors``, ``evenodd``, ``use_pallas``, ``pallas_interpret``)
-    pass through to MXUTransform and are ignored for the native provider.
+    ``half_factors``, ``evenodd``, ``gauss``, ``use_pallas``,
+    ``pallas_interpret``) pass through to MXUTransform and are ignored
+    for the native provider.
     """
     if backend == "auto":
         plat = jax.default_backend()

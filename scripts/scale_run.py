@@ -29,6 +29,18 @@ def main():
     nx = int(os.environ.get("NIWQG_SCALE_NX", "4096"))
     nsteps = int(os.environ.get("NIWQG_SCALE_STEPS", "100"))
     chunk = int(os.environ.get("NIWQG_SCALE_CHUNK", "10"))
+    precision = os.environ.get("NIWQG_SCALE_PRECISION", "auto")
+    extra = {}
+    if os.environ.get("NIWQG_SCALE_GAUSS"):
+        extra["transform_opts"] = {
+            "gauss": os.environ["NIWQG_SCALE_GAUSS"] != "0"}
+    # NIWQG_SCALE_FILTER=1 runs the production configuration (exponential
+    # filter ON). The budget is then NOT closed — filter dissipation is
+    # untracked, in the reference too — so this mode only checks
+    # long-horizon stability (finiteness + sane energies), not closure.
+    use_filter = os.environ.get("NIWQG_SCALE_FILTER", "0") != "0"
+    if os.environ.get("NIWQG_SCALE_FAST"):
+        extra["fast"] = os.environ["NIWQG_SCALE_FAST"] != "0"
 
     U0 = 0.1
     L = 2 * np.pi * 200e3
@@ -51,7 +63,8 @@ def main():
     m = CoupledModel.Model(
         L=L, nx=nx, tmax=nsteps * dt, dt=dt, m=2 * np.pi / 280, N=0.01,
         f=1e-4, nu4=nu4, nu4w=0, nu=20.0 * s**2, nuw=50.0 * s**2,
-        use_filter=False, U=-U0, tdiags=nsteps + 1,
+        use_filter=use_filter, U=-U0, tdiags=nsteps + 1,
+        precision=precision, **extra,
     )
     q = ic.LambDipole(m, U=U0, R=2 * np.pi / k0)
     m.set_q(q)
@@ -84,11 +97,18 @@ def main():
           f"({nsteps/wall:.2f} steps/s, {pts/1e6:.1f}M grid-pt-steps/s, "
           f"{pts/ (20.0*128*128):.0f}x baseline)")
     worst = max(closures)
-    # closure is RK4-accurate, not exact: truncation ~1e-6 relative at this
-    # dt in f64; f32 adds transform/rounding noise
-    tol = 5e-3 if m.kernel.dtype == np.float32 else 1e-5
-    print(f"worst budget closure: {worst:.2e} (tol {tol:.0e})")
-    ok = bool(np.isfinite(worst)) and worst < tol
+    if use_filter:
+        # filter dissipation is untracked by the budget (reference
+        # behaviour too): stability-only criterion
+        ok = bool(np.isfinite(worst))
+        print(f"filter ON: stability check only (closure {worst:.2e} "
+              "not asserted)")
+    else:
+        # closure is RK4-accurate, not exact: truncation ~1e-6 relative at
+        # this dt in f64; f32 adds transform/rounding noise
+        tol = 5e-3 if m.kernel.dtype == np.float32 else 1e-5
+        print(f"worst budget closure: {worst:.2e} (tol {tol:.0e})")
+        ok = bool(np.isfinite(worst)) and worst < tol
     print("SCALE RUN:", "PASS" if ok else "FAIL")
     return 0 if ok else 1
 

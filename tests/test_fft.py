@@ -91,7 +91,8 @@ class TestMXUTransform:
         assert np.abs(back - self.x).max() < 1e-12
 
     def test_split_precision_f32(self):
-        """bf16 hi/lo split recovers ~f32 accuracy (the TPU default mode)."""
+        """bf16 hi/lo split recovers ~f32 accuracy (explicit fallback for
+        backends where Precision.HIGH is unavailable)."""
         mxu = MXUTransform(self.nx, np.float32, precision="split")
         got = mxu.fft2(C.from_complex(self.z.astype(np.complex64))).to_complex()
         want = np.fft.fft2(self.z)
@@ -179,3 +180,48 @@ class TestMXUEvenOdd:
         want = np.fft.rfft2(self.x)
         rel = np.abs(got - want).max() / np.abs(want).max()
         assert rel < 5e-6, rel
+
+
+@pytest.mark.parametrize("factors", [None, (8, 8)])
+class TestMXUGaussAndHigh:
+    """The Gauss 3-matmul complex product (``gauss=True``) and the
+    ``precision='high'`` single-dot mode — the round-2 TPU fast paths —
+    validated against numpy on CPU for both dense and four-step DFTs."""
+
+    nx = 64
+
+    def setup_method(self):
+        rng = np.random.default_rng(46)
+        self.x = rng.standard_normal((self.nx, self.nx))
+        self.z = (rng.standard_normal((self.nx, self.nx))
+                  + 1j * rng.standard_normal((self.nx, self.nx)))
+
+    def test_gauss_f64(self, factors):
+        mxu = MXUTransform(self.nx, np.float64, factors=factors,
+                           half_factors=(8, 4), evenodd=True, gauss=True)
+        got = mxu.fft2(C.from_complex(self.z)).to_complex()
+        want = np.fft.fft2(self.z)
+        assert np.abs(got - want).max() / np.abs(want).max() < 1e-12
+        zh = mxu.rfft2(np.asarray(self.x))
+        wantr = np.fft.rfft2(self.x)
+        assert np.abs(zh.to_complex() - wantr).max() / np.abs(wantr).max() < 1e-12
+        assert np.abs(np.asarray(mxu.irfft2(zh)) - self.x).max() < 1e-12
+
+    def test_gauss_split_f32(self, factors):
+        mxu = MXUTransform(self.nx, np.float32, precision="split",
+                           factors=factors, gauss=True)
+        got = mxu.fft2(C.from_complex(self.z.astype(np.complex64))).to_complex()
+        want = np.fft.fft2(self.z)
+        rel = np.abs(got - want).max() / np.abs(want).max()
+        # Gauss's (a+b) operand combination costs ~1.5x in rounding noise
+        assert rel < 1e-5, rel
+
+    def test_high_precision_mode(self, factors):
+        # on CPU, Precision.HIGH dots are exact f32; on the target TPU the
+        # hardware lowers them to its internal multi-pass bf16 (~1.4e-5)
+        mxu = MXUTransform(self.nx, np.float32, precision="high",
+                           factors=factors)
+        got = mxu.fft2(C.from_complex(self.z.astype(np.complex64))).to_complex()
+        want = np.fft.fft2(self.z)
+        rel = np.abs(got - want).max() / np.abs(want).max()
+        assert rel < 1e-5, rel
