@@ -7,8 +7,10 @@ control first, every timed region closed by a scalar fetch).
 Usage:
     python scripts/measure_sweep.py "2048" "2048:budgets=0" "512"
 
-Each spec is "<nx>[:budgets=0][:steps=N]". Results stream to stdout as
-one line per config.
+Each spec is "<nx>[:budgets=0][:steps=N][:pre=0]". ``pre=0`` disables the
+fast kernel's precomputed budget laplacians (stage_sources falls back to
+its own batched transform call) for a same-process A/B of that change.
+Results stream to stdout as one line per config.
 """
 
 import os
@@ -22,10 +24,30 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 BASELINE_PTS = 20.0 * 128 * 128
 
 
-def measure(nx: int, budgets: bool, nsteps: int):
-    from __graft_entry__ import _build_coupled
+def _build(nx: int, budgets: bool, pre: bool):
+    from niwqg_tpu import CoupledModel
+    from niwqg_tpu import InitialConditions as ic
 
-    m = _build_coupled(nx=nx, compute_budgets=budgets)
+    U0 = 0.05
+    m = CoupledModel.Model(
+        L=2 * np.pi * 200e3, nx=nx, dt=157.0, tmax=157.0 * 100,
+        m=1.0 / 325, N=0.005, f=1e-4, use_filter=True,
+        nu4=7.5e9, nu4w=7.5e9, compute_budgets=budgets,
+    )
+    if not pre:
+        # must flip before set_q so the state pytree is built without the
+        # optional lap fields (stage_sources then uses its fallback batch)
+        m.kernel._precompute_budgets = False
+        m.state = m.kernel.zero_state()
+    k0 = 10 * (2 * np.pi / m.L)
+    q = ic.LambDipole(m, U=U0, R=2 * np.pi / k0)
+    m.set_q(q)
+    m.set_phi((np.ones_like(q) + 1j) * 5 * U0 / np.sqrt(2))
+    return m
+
+
+def measure(nx: int, budgets: bool, nsteps: int, pre: bool = True):
+    m = _build(nx, budgets, pre)
     run = m._chunk(nsteps)
 
     t0 = time.time()
@@ -42,8 +64,9 @@ def measure(nx: int, budgets: bool, nsteps: int):
 
     sps = nsteps / dt
     pts = sps * nx * nx
-    print(f"RESULT nx={nx} budgets={int(budgets)} steps/s={sps:.2f} "
-          f"pts/s={pts:.3e} vs_baseline={pts / BASELINE_PTS:.1f} "
+    print(f"RESULT nx={nx} budgets={int(budgets)} pre={int(pre)} "
+          f"steps/s={sps:.2f} pts/s={pts:.3e} "
+          f"vs_baseline={pts / BASELINE_PTS:.1f} "
           f"compile_s={compile_s:.0f} Ke={ke:.6e}", flush=True)
 
 
@@ -54,15 +77,18 @@ def main():
         nx = int(parts[0])
         budgets = True
         nsteps = 10
+        pre = True
         for p in parts[1:]:
             k, v = p.split("=")
             if k == "budgets":
                 budgets = v != "0"
             elif k == "steps":
                 nsteps = int(v)
+            elif k == "pre":
+                pre = v != "0"
         t0 = time.time()
         try:
-            measure(nx, budgets, nsteps)
+            measure(nx, budgets, nsteps, pre)
         except Exception as e:  # keep the sweep going
             print(f"RESULT nx={nx} budgets={int(budgets)} FAILED after "
                   f"{time.time() - t0:.0f}s: {e!r}", flush=True)
