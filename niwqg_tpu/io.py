@@ -113,8 +113,6 @@ class Saver:
 # checkpoint / restore (new capability; SURVEY.md §5 resume gap)
 # ----------------------------------------------------------------------
 def _write_tree(h5group, name: str, value):
-    if value is None:  # optional Derived fields (e.g. budget laplacians)
-        return
     if isinstance(value, C):
         h5group.create_dataset(
             name, data=np.stack([np.asarray(value.re), np.asarray(value.im)])
@@ -175,29 +173,13 @@ def load_checkpoint(path: str, model):
             node = sgrp[name]
             if isinstance(node, h5py.Group):
                 sub_cls = type(getattr(model.state, name))
-                # fields absent from the file restore as None (optional
-                # Derived fields written by a config that didn't carry them)
                 sub_kwargs = {
-                    n2: _read_value(node[n2], dtype) if n2 in node else None
-                    for n2 in sub_cls._fields
+                    n2: _read_value(node[n2], dtype) for n2 in sub_cls._fields
                 }
                 kwargs[name] = sub_cls(**sub_kwargs)
             else:
                 kwargs[name] = _read_value(node, dtype)
         model.state = state_cls(**kwargs)
-        # budget laplacians are derived quantities: when the checkpoint was
-        # written by a kernel that doesn't carry them but this model's
-        # kernel does (batched fast kernel), rebuild them from (qh, phih)
-        K = model.kernel
-        d = getattr(model.state, "d", None)
-        if (d is not None and getattr(K, "_precompute_budgets", False)
-                and d.lapphi is None):
-            lapphi, lap2phi, lphix, lphiy = K._phi_budget_fields(
-                model.state.phih)
-            lap2psi, lapq = K._q_budget_fields(model.state.qh, d.ph)
-            model.state = model.state._replace(d=d._replace(
-                lapphi=lapphi, lap2phi=lap2phi, lphix=lphix, lphiy=lphiy,
-                lap2psi=lap2psi, lapq=lapq))
         if "diagnostics" in f:
             for name in f["diagnostics"]:
                 if name in model._diag_acc.series:

@@ -37,27 +37,12 @@ from .ql import QLPhysics
 class FastWaveKernel(WaveKernel):
     """Batched-transform wave kernel (Coupled / UnCoupled / QL physics)."""
 
-    def __init__(self, *args, **kwargs):
-        super().__init__(*args, **kwargs)
-        # budget laplacians ride the derive-stage batches so stage_sources
-        # issues no transforms at all (see Derived docstring)
-        self._precompute_budgets = bool(self.params.compute_budgets)
-
     # ------------------------------------------------------------------
     def derive(self, qh: C, phih: C, prev=None) -> Derived:
         g, tr, p = self.grid, self.tr, self.params
-        pre = self._precompute_budgets
 
-        phi_group = [phih, mul_i(phih, g.k), mul_i(phih, g.l)]
-        if pre:
-            # budget fields from the same phih, same batched call
-            phi_group += [phih * (-g.wv2), phih * g.wv4,
-                          mul_i(phih, -g.k * g.wv2),
-                          mul_i(phih, -g.l * g.wv2)]
-        pg = tr.ifft2(stack(phi_group))
-        parts = unstack(pg, len(phi_group))
-        phi, phix, phiy = parts[:3]
-        lap_parts = parts[3:]
+        pg = tr.ifft2(stack([phih, mul_i(phih, g.k), mul_i(phih, g.l)]))
+        phi, phix, phiy = unstack(pg, 3)
         if self.physics.stale_phi_gradients and prev is not None:
             phix, phiy = prev.phix, prev.phiy
 
@@ -78,27 +63,14 @@ class FastWaveKernel(WaveKernel):
             # (``QLModel.py:86``)
             ph = spectral.hermitian_project(ph)
         qpsi_h = (qh - qwh) if self.physics.subtracts_wave_pv else qh
-        real_group = [ph, mul_i(ph, -g.l), mul_i(ph, g.k), qh, qpsi_h]
-        if pre:
-            real_group += [ph * g.wv4, qh * (-g.wv2)]  # lap2psi, lapq
-        gb = tr.ifft2_real(stack(real_group))
+        gb = tr.ifft2_real(stack([ph, mul_i(ph, -g.l), mul_i(ph, g.k), qh,
+                                  qpsi_h]))
         p_, u, v, q, q_psi = (gb[i] for i in range(5))
-        D = Derived(ph=ph, p=p_, q=q, q_psi=q_psi, qwh=qwh, phi=phi,
-                    phix=phix, phiy=phiy, u=u, v=v)
-        if pre:
-            D = D._replace(lapphi=lap_parts[0], lap2phi=lap_parts[1],
-                           lphix=lap_parts[2], lphiy=lap_parts[3],
-                           lap2psi=gb[5], lapq=gb[6])
-        return D
+        return Derived(ph=ph, p=p_, q=q, q_psi=q_psi, qwh=qwh, phi=phi,
+                       phix=phix, phiy=phiy, u=u, v=v)
 
     # ------------------------------------------------------------------
     def stage_sources(self, qh: C, phih: C, D: Derived) -> StageSources:
-        if D.lapphi is not None:
-            # precomputed in derive from the exact same (qh, phih)
-            return self.sources_from_fields(D, D.lapphi, D.lap2phi, D.lphix,
-                                            D.lphiy, D.lap2psi, D.lapq)
-        # batched fallback (e.g. the diagnostics cadence when
-        # compute_budgets=False keeps Derived lean)
         g, tr = self.grid, self.tr
         batch = tr.ifft2(stack([
             phih * (-g.wv2),                 # lapphi

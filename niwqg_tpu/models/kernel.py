@@ -27,7 +27,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..carray import C, jmul, mul_i, stack, unstack
+from ..carray import C, jmul, mul_i
 from ..etdrk4 import (ETDRK4Coefs, build_coefs, linear_operator_phi,
                       linear_operator_q)
 from ..grid import Grid
@@ -83,14 +83,7 @@ class KernelParams:
 class Derived(NamedTuple):
     """Derived fields recomputed after every stage update (the reference's
     ``phi = ifft(phih); _invert(); _calc_rel_vorticity()`` block plus
-    velocities).
-
-    The six optional budget fields (laplacians consumed by the stage-wise
-    energy sources, ``niwqg/Kernel.py:664-701``) are attached by the batched
-    fast kernel so its stage_sources needs no transforms of its own — they
-    ride the derive-stage batched transform calls instead. ``None`` on the
-    faithful kernel (which computes them fresh per stage, like the
-    reference) and when ``compute_budgets=False``."""
+    velocities)."""
 
     ph: C
     p: jnp.ndarray
@@ -102,12 +95,6 @@ class Derived(NamedTuple):
     phiy: C
     u: jnp.ndarray
     v: jnp.ndarray
-    lapphi: Optional[C] = None
-    lap2phi: Optional[C] = None
-    lphix: Optional[C] = None
-    lphiy: Optional[C] = None
-    lap2psi: Optional[jnp.ndarray] = None
-    lapq: Optional[jnp.ndarray] = None
 
 
 class WaveState(NamedTuple):
@@ -187,10 +174,6 @@ class WaveKernel:
             self.tr = make_transform(params.nx, self.dtype, backend,
                                      precision=precision,
                                      **(transform_opts or {}))
-        # the batched fast kernel precomputes the budget laplacian fields
-        # inside its derive-stage transform batches (see Derived docstring);
-        # the faithful kernel computes them per stage like the reference
-        self._precompute_budgets = False
         # ETDRK4 tables for the q- and phi-equations
         p = params
         self.coefs_q = build_coefs(
@@ -233,14 +216,7 @@ class WaveKernel:
     # ------------------------------------------------------------------
     def stage_sources(self, qh: C, phih: C, D: Derived) -> StageSources:
         """Energy conversion & dissipation sources
-        (``niwqg/Kernel.py:629-701``), evaluated on the carried state.
-
-        When ``D`` carries precomputed budget fields (batched fast kernel),
-        no transforms are issued here — the fields were produced from the
-        exact same ``(qh, phih)`` by the preceding derive."""
-        if D.lapphi is not None:
-            return self.sources_from_fields(D, D.lapphi, D.lap2phi, D.lphix,
-                                            D.lphiy, D.lap2psi, D.lapq)
+        (``niwqg/Kernel.py:629-701``), evaluated on the carried state."""
         g, tr = self.grid, self.tr
         lapphi = tr.ifft2(phih * (-g.wv2))
         lap2phi = tr.ifft2(phih * g.wv4)
@@ -250,22 +226,6 @@ class WaveKernel:
         lphiy = tr.ifft2(mul_i(phih, -g.l * g.wv2))
         return self.sources_from_fields(D, lapphi, lap2phi, lphix, lphiy,
                                         lap2psi, lapq)
-
-    def _phi_budget_fields(self, phih: C):
-        """(lapphi, lap2phi, lphix, lphiy) from one batched inverse
-        transform — the phi-side inputs of ``sources_from_fields``."""
-        g, tr = self.grid, self.tr
-        b = tr.ifft2(stack([
-            phih * (-g.wv2), phih * g.wv4,
-            mul_i(phih, -g.k * g.wv2), mul_i(phih, -g.l * g.wv2),
-        ]))
-        return unstack(b, 4)
-
-    def _q_budget_fields(self, qh: C, ph: C):
-        """(lap2psi, lapq) from one batched real inverse transform."""
-        g, tr = self.grid, self.tr
-        b = tr.ifft2_real(stack([ph * g.wv4, qh * (-g.wv2)]))
-        return b[0], b[1]
 
     def sources_from_fields(self, D: Derived, lapphi: C, lap2phi: C,
                             lphix: C, lphiy: C, lap2psi, lapq) -> StageSources:
@@ -395,9 +355,6 @@ class WaveKernel:
         r = jnp.zeros(shape, self.dtype)
         D = Derived(ph=z, p=r, q=r, q_psi=r, qwh=z, phi=z, phix=z, phiy=z,
                     u=r, v=r)
-        if self._precompute_budgets:
-            D = D._replace(lapphi=z, lap2phi=z, lphix=z, lphiy=z,
-                           lap2psi=r, lapq=r)
         zero = self._s(0.0)
         return WaveState(t=zero, tc=jnp.asarray(0, jnp.int32), qh=z, phih=z,
                          d=D, Ke=zero, Pw=zero, Kw=zero)
@@ -411,11 +368,6 @@ class WaveKernel:
         u, v = spectral.velocities(self.tr, self.grid, D.ph)
         # preserve the phi-gradients currently carried (set_phi provides them)
         D = D._replace(u=u, v=v, phix=s.d.phix, phiy=s.d.phiy, phi=s.d.phi)
-        if self._precompute_budgets:
-            lap2psi, lapq = self._q_budget_fields(qh, D.ph)
-            D = D._replace(lapphi=s.d.lapphi, lap2phi=s.d.lap2phi,
-                           lphix=s.d.lphix, lphiy=s.d.lphiy,
-                           lap2psi=lap2psi, lapq=lapq)
         Ke = self.ke_qg(D.ph)
         return s._replace(qh=qh, d=D, Ke=Ke)
 
@@ -432,10 +384,6 @@ class WaveKernel:
         Pw = 0.25 * (phix.abs2() + phiy.abs2()).mean() / self.params.kappa2
         Kw = 0.5 * phi_c.abs2().mean()
         D = s.d._replace(phi=phi_c, phix=phix, phiy=phiy)
-        if self._precompute_budgets:
-            lapphi, lap2phi, lphix, lphiy = self._phi_budget_fields(phih)
-            D = D._replace(lapphi=lapphi, lap2phi=lap2phi,
-                           lphix=lphix, lphiy=lphiy)
         return s._replace(phih=phih, d=D, Pw=Pw, Kw=Kw)
 
     # ------------------------------------------------------------------

@@ -68,13 +68,6 @@ def shard_wave_state(state, mesh: Mesh):
         q_psi=_put(state.d.q_psi, ps), u=_put(state.d.u, ps),
         v=_put(state.d.v, ps),
     )
-    if state.d.lapphi is not None:
-        # precomputed budget fields (fast kernel): physical-space layout
-        d = d._replace(
-            lapphi=put_c(state.d.lapphi, ps), lap2phi=put_c(state.d.lap2phi, ps),
-            lphix=put_c(state.d.lphix, ps), lphiy=put_c(state.d.lphiy, ps),
-            lap2psi=_put(state.d.lap2psi, ps), lapq=_put(state.d.lapq, ps),
-        )
     return state._replace(
         t=_put(state.t, rs), tc=_put(state.tc, rs),
         qh=put_c(state.qh, ss), phih=put_c(state.phih, ss), d=d,

@@ -7,10 +7,11 @@ control first, every timed region closed by a scalar fetch).
 Usage:
     python scripts/measure_sweep.py "2048" "2048:budgets=0" "512"
 
-Each spec is "<nx>[:budgets=0][:steps=N][:pre=0]". ``pre=0`` disables the
-fast kernel's precomputed budget laplacians (stage_sources falls back to
-its own batched transform call) for a same-process A/B of that change.
-Results stream to stdout as one line per config.
+Each spec is "<nx>[:budgets=0][:steps=N][:pre=0]". ``pre=0`` disabled the
+(since-reverted) precomputed budget laplacians; the alternating A/B it
+ran measured that change ~12% slower at 2048² (PERFORMANCE.md), so the
+flag is now a no-op kept for the record. Results stream to stdout as one
+line per config.
 """
 
 import os
