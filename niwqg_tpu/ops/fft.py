@@ -46,6 +46,11 @@ from ..carray import C, jmul
 from .spectral import expand_half_to_full, project_full_to_half
 
 
+def _cmap(f, z: C) -> C:
+    """Apply a shape/layout function to both planes of a C pair."""
+    return C(f(z.re), f(z.im))
+
+
 # ----------------------------------------------------------------------
 # native (jnp.fft) provider
 # ----------------------------------------------------------------------
@@ -114,32 +119,45 @@ def _mask_split3(a):
     return hi, mid, lo
 
 
-def _mm_split(a, b):
-    """a @ b at ~16-mantissa-bit accuracy via 3 MXU passes.
+def _dot(a, b, dn, precision=None):
+    """``dot_general`` contracting one dim of ``a`` with dim 0 of ``b``;
+    the result dim is appended minor-most. Contracting interior dims
+    directly (instead of transposing them last and flattening to a 2-D
+    matmul) measured ~2x faster on the target TPU for the four-step's
+    4-/5-D intermediates — XLA does NOT fuse explicit swapaxes into the
+    matmul there (scripts/exp_dft_variants.py: 20.1 -> 10.2 ms/slice
+    per 2048 roundtrip)."""
+    return jax.lax.dot_general(a, b, dn, precision=precision,
+                               preferred_element_type=a.dtype)
 
-    ``b`` is pre-split ``(b_hi, b_lo)``; the ``a @ b_lo`` term uses the full
-    ``a`` so the (tiny) lo*lo cross term rides along for free.
+
+def _mm_split(a, b, dn):
+    """Contraction at ~16-mantissa-bit accuracy via 3 MXU passes.
+
+    ``b`` is pre-split ``(b_hi, b_lo)``; the ``a . b_lo`` term uses the
+    full ``a`` so the (tiny) lo*lo cross term rides along for free.
     """
     b_hi, b_lo = b
     a_hi, a_lo = _mask_split(a)
-    return a @ b_lo + a_lo @ b_hi + a_hi @ b_hi
+    return _dot(a, b_lo, dn) + _dot(a_lo, b_hi, dn) + _dot(a_hi, b_hi, dn)
 
 
-def _mm_split3(a, b):
-    """a @ b at ~f32 accuracy via 6 MXU passes (3-way splits)."""
+def _mm_split3(a, b, dn):
+    """Contraction at ~f32 accuracy via 6 MXU passes (3-way splits)."""
     b_hi, b_mid, b_lo = b
     a_hi, a_mid, a_lo = _mask_split3(a)
-    return (a_hi @ b_hi
-            + (a_hi @ b_mid + a_mid @ b_hi)
-            + (a @ b_lo + a_mid @ b_mid + a_lo @ b_hi))
+    return (_dot(a_hi, b_hi, dn)
+            + (_dot(a_hi, b_mid, dn) + _dot(a_mid, b_hi, dn))
+            + (_dot(a, b_lo, dn) + _dot(a_mid, b_mid, dn)
+               + _dot(a_lo, b_hi, dn)))
 
 
-def _mm_plain(a, b):
+def _mm_plain(a, b, dn):
     """Single-pass matmul — true f32/f64 on CPU, bf16-grade on this TPU."""
-    return jnp.dot(a, b[0], preferred_element_type=a.dtype)
+    return _dot(a, b[0], dn)
 
 
-def _mm_high(a, b):
+def _mm_high(a, b, dn):
     """One matmul op at ``lax.Precision.HIGH``.
 
     On the target TPU backend HIGH lowers to the hardware's internal
@@ -147,8 +165,7 @@ def _mm_high(a, b):
     3-matmul mask-split) but reads each operand once and keeps the pass
     accumulation on-chip instead of materialising hi/lo operand copies.
     """
-    return jnp.dot(a, b[0], precision=jax.lax.Precision.HIGH,
-                   preferred_element_type=a.dtype)
+    return _dot(a, b[0], dn, precision=jax.lax.Precision.HIGH)
 
 
 def _auto_factors(nx: int, min_n: int = 2048):
@@ -210,18 +227,65 @@ class _CDFT:
                                            np.conj(Tf))
 
     def __call__(self, z: C, inverse: bool) -> C:
+        return self.along(z, inverse, axis=-1)
+
+    def along(self, z: C, inverse: bool, axis: int) -> C:
+        """DFT along ``axis`` (-1 or -2) with canonical index order in and
+        out. Four-step stages contract interior dims directly with
+        ``dot_general`` (result appended minor-most): one index transpose
+        per pass instead of the legacy formulation's three ``swapaxes``
+        (kept as ``formulation='swap'`` for A/B)."""
+        assert axis in (-1, -2), axis
+        ow = self.owner
+        if ow.formulation == "swap":
+            if axis == -1:
+                return self._along_last_swap(z, inverse)
+            return ow._swap(self._along_last_swap(ow._swap(z), inverse))
+
+        if self.factors is None:
+            out = ow._cdot(z, self._G if inverse else self._F, axis)
+            # result dim appended minor-most; an interior axis needs one
+            # transpose back into place
+            return out if axis == -1 else ow._swap(out)
+
+        tab = self._inv if inverse else self._fwd
+        n1, n2 = self.factors
+        if axis == -1:
+            lead = z.re.shape[:-1]
+            zr = _cmap(lambda x: x.reshape(lead + (n1, n2)), z)
+            a = ow._cdot(zr, tab["M1"], -2)       # (..., x2, k1)
+            a = a * tab["T"]                      # twiddle, (x2, k1)
+            a = ow._cdot(a, tab["M2"], -2)        # (..., k1, k2)
+            # canonical k = k2*n1 + k1: one transpose + flatten
+            return _cmap(lambda x: jnp.swapaxes(x, -1, -2)
+                         .reshape(lead + (self.n,)), a)
+        # axis == -2: operate on dim -2 of (..., n, ncols) in place
+        lead = z.re.shape[:-2]
+        ncols = z.re.shape[-1]
+        zr = _cmap(lambda x: x.reshape(lead + (n1, n2, ncols)), z)
+        a = ow._cdot(zr, tab["M1"], -3)           # (..., y2, ncols, k1)
+        a = a * _cmap(lambda t: t[:, None, :], tab["T"])
+        a = ow._cdot(a, tab["M2"], -3)            # (..., ncols, k1, k2)
+        # canonical k = k2*n1 + k1 back at dim -2: (ncols,k1,k2)->(k2,k1,ncols)
+        nd = a.re.ndim
+        perm = tuple(range(nd - 3)) + (nd - 1, nd - 2, nd - 3)
+        return _cmap(lambda x: x.transpose(perm)
+                     .reshape(lead + (self.n, ncols)), a)
+
+    def _along_last_swap(self, z: C, inverse: bool) -> C:
+        """Legacy swap-based formulation (measured 2x slower on TPU)."""
         ow = self.owner
         if self.factors is None:
-            return ow._flatten_mm(z, self._G if inverse else self._F)
+            return ow._cdot(z, self._G if inverse else self._F, -1)
         tab = self._inv if inverse else self._fwd
         n1, n2 = self.factors
         lead = z.re.shape[:-1]
         zr = C(z.re.reshape(lead + (n1, n2)), z.im.reshape(lead + (n1, n2)))
         # DFT over x1: layout (..., x2, x1) @ M1 -> (..., x2, k1)
-        a1 = ow._flatten_mm(ow._swap(zr), tab["M1"])
+        a1 = ow._cdot(ow._swap(zr), tab["M1"], -1)
         a1 = a1 * tab["T"]  # twiddle, (x2, k1) layout
         # DFT over x2: layout (..., k1, x2) @ M2 -> (..., k1, k2)
-        a2 = ow._flatten_mm(ow._swap(a1), tab["M2"])
+        a2 = ow._cdot(ow._swap(a1), tab["M2"], -1)
         # output index k = k2*n1 + k1 -> (..., k2, k1) then flatten
         out = ow._swap(a2)
         return C(out.re.reshape(lead + (self.n,)),
@@ -241,11 +305,17 @@ class MXUTransform:
 
     def __init__(self, nx: int, dtype=np.float32, precision: str = "auto",
                  factors="auto", half_factors="auto", evenodd="auto",
-                 gauss="auto",
+                 gauss="auto", formulation: str = "dotgen",
                  use_pallas: bool = False, pallas_interpret: bool = False):
         self.nx = nx
         self.dtype = np.dtype(dtype)
         self.nk_half = nx // 2 + 1
+        # 'dotgen': four-step stages contract interior dims directly with
+        # dot_general (one index transpose per pass) — measured ~2x faster
+        # per 2048 roundtrip than 'swap' (three swapaxes per pass) on the
+        # target TPU; 'swap' retained for same-process A/Bs.
+        assert formulation in ("dotgen", "swap"), formulation
+        self.formulation = formulation
         if precision == "auto":
             # f64/CPU: plain dot is exact enough. f32/TPU: Precision.HIGH —
             # the hardware's internal multi-pass bf16 (~1.4e-5 relative,
@@ -361,68 +431,70 @@ class MXUTransform:
                 return t
         return n
 
-    def _right_mul(self, z: C, M) -> C:
-        """(z @ M) for complex z pair and a complex constant in either
-        :meth:`_cconst` form (pair of pre-split tuples, or Gauss dict)."""
+    def _cdot(self, z: C, M, dim: int) -> C:
+        """Contract ``dim`` of the complex pair ``z`` with dim 0 of the
+        complex constant ``M`` (in either :meth:`_cconst` form — pair of
+        pre-split tuples, or Gauss dict). The result dim is appended
+        minor-most (for ``dim=-1`` that is in-place)."""
+        nd = z.re.ndim
+        dn = (((dim % nd,), (0,)), ((), ()))
         mm = self._mm
         if isinstance(M, dict):
             # Gauss 3-multiplication product: for (a+bi)(c+di) with the
             # constant combinations c, d-c, c+d precomputed,
             #   t1 = (a+b)c, t2 = a(d-c), t3 = b(c+d)
             #   re = t1 - t3, im = t1 + t2
-            t1 = mm(z.re + z.im, M["c"])
-            t2 = mm(z.re, M["s2"])
-            t3 = mm(z.im, M["s3"])
+            t1 = mm(z.re + z.im, M["c"], dn)
+            t2 = mm(z.re, M["s2"], dn)
+            t3 = mm(z.im, M["s3"], dn)
             return C(t1 - t3, t1 + t2)
         Mr, Mi = M
-        if self.use_pallas and z.re.ndim == 2:
-            K = z.re.shape[1]
-            N = Mr[0].shape[1]
-            Mrows = z.re.shape[0]
-            if K >= 256 and N >= 256 and Mrows % 8 == 0:
-                from .pallas_mm import csplit_matmul
-
-                tm = self._pick_tile(Mrows, (256, 128, 64, 32, 16, 8))
-                tn = self._pick_tile(N, (512, 256, 128))
-                tk = self._pick_tile(K, (512, 256, 128))
-                re, im = csplit_matmul(z.re, z.im, Mr[0], Mr[1], Mi[0], Mi[1],
-                                       tm=tm, tn=tn, tk=tk,
-                                       interpret=self.pallas_interpret)
-                return C(re, im)
-        re = mm(z.re, Mr) - mm(z.im, Mi)
-        im = mm(z.re, Mi) + mm(z.im, Mr)
+        if self.use_pallas and dim in (-1, nd - 1):
+            flat = (_cmap(lambda x: x.reshape(-1, x.shape[-1]), z)
+                    if nd > 2 else z)
+            out = self._pallas_or_none(flat, Mr, Mi)
+            if out is not None:
+                if nd > 2:
+                    out = _cmap(lambda x: x.reshape(
+                        z.re.shape[:-1] + (x.shape[-1],)), out)
+                return out
+        re = mm(z.re, Mr, dn) - mm(z.im, Mi, dn)
+        im = mm(z.re, Mi, dn) + mm(z.im, Mr, dn)
         return C(re, im)
 
-    def _flatten_mm(self, z: C, M) -> C:
-        """Right-multiply with leading axes flattened into rows."""
-        shape = z.re.shape
-        if len(shape) > 2:
-            flat = C(z.re.reshape(-1, shape[-1]), z.im.reshape(-1, shape[-1]))
-            out = self._right_mul(flat, M)
-            n_out = out.re.shape[-1]
-            return C(
-                out.re.reshape(shape[:-1] + (n_out,)),
-                out.im.reshape(shape[:-1] + (n_out,)),
-            )
-        return self._right_mul(z, M)
+    def _pallas_or_none(self, z: C, Mr, Mi):
+        """Fused Pallas complex-split matmul for eligible 2-D shapes
+        (opt-in experimental; measured slower than the XLA path)."""
+        K = z.re.shape[1]
+        N = Mr[0].shape[1]
+        Mrows = z.re.shape[0]
+        if K >= 256 and N >= 256 and Mrows % 8 == 0:
+            from .pallas_mm import csplit_matmul
 
-    # -- 1-D DFT along the last axis ---------------------------------------
+            tm = self._pick_tile(Mrows, (256, 128, 64, 32, 16, 8))
+            tn = self._pick_tile(N, (512, 256, 128))
+            tk = self._pick_tile(K, (512, 256, 128))
+            re, im = csplit_matmul(z.re, z.im, Mr[0], Mr[1], Mi[0], Mi[1],
+                                   tm=tm, tn=tn, tk=tk,
+                                   interpret=self.pallas_interpret)
+            return C(re, im)
+        return None
+
+    # -- 1-D DFT passes ----------------------------------------------------
     def _swap(self, z: C) -> C:
         return C(jnp.swapaxes(z.re, -1, -2), jnp.swapaxes(z.im, -1, -2))
 
     def _dft_last(self, z: C, inverse: bool) -> C:
-        return self._cdft(z, inverse)
+        return self._cdft.along(z, inverse, axis=-1)
 
     # -- public API --------------------------------------------------------
     def fft2(self, z: C) -> C:
-        z = self._dft_last(z, inverse=False)          # along x
-        z = self._swap(self._dft_last(self._swap(z), inverse=False))  # y
-        return z
+        z = self._cdft.along(z, inverse=False, axis=-1)   # along x
+        return self._cdft.along(z, inverse=False, axis=-2)  # along y
 
     def ifft2(self, zh: C) -> C:
-        zh = self._dft_last(zh, inverse=True)
-        zh = self._swap(self._dft_last(self._swap(zh), inverse=True))
-        return zh
+        zh = self._cdft.along(zh, inverse=True, axis=-1)
+        return self._cdft.along(zh, inverse=True, axis=-2)
 
     def fft2_real(self, x) -> C:
         """Full-spectrum transform of a real field.
@@ -448,13 +520,9 @@ class MXUTransform:
         return self.irfft2(project_full_to_half(zh))
 
     def _real_mm_flat(self, x, M):
-        """Real (…, K) @ (K, N) with leading axes flattened."""
-        shape = x.shape
-        flat = x.reshape(-1, shape[-1]) if x.ndim > 2 else x
-        out = self._mm(flat, M)
-        if x.ndim > 2:
-            out = out.reshape(shape[:-1] + (out.shape[-1],))
-        return out
+        """Real (…, K) @ (K, N) contraction along the last axis."""
+        dn = (((x.ndim - 1,), (0,)), ((), ()))
+        return self._mm(x, M, dn)
 
     # -- even/odd real 1-D passes ------------------------------------------
     @staticmethod
@@ -506,11 +574,11 @@ class MXUTransform:
             z = C(self._real_mm_flat(x, self._Rf[0]),
                   self._real_mm_flat(x, self._Rf[1]))
         # pass 2: full complex DFT along y (on nk columns)
-        return self._swap(self._dft_last(self._swap(z), inverse=False))
+        return self._cdft.along(z, inverse=False, axis=-2)
 
     def irfft2(self, zh: C):
         # pass 1: inverse complex DFT along y
-        z = self._swap(self._dft_last(self._swap(zh), inverse=True))
+        z = self._cdft.along(zh, inverse=True, axis=-2)
         # pass 2: real reconstruction along x
         if self.evenodd:
             return self._irdft_last_evenodd(z)
@@ -524,9 +592,9 @@ def make_transform(nx: int, dtype, backend: str = "auto",
 
     ``backend='auto'`` selects MXU on TPU-like platforms (no complex
     support) and native FFT elsewhere. ``mxu_opts`` (``factors``,
-    ``half_factors``, ``evenodd``, ``gauss``, ``use_pallas``,
-    ``pallas_interpret``) pass through to MXUTransform and are ignored
-    for the native provider.
+    ``half_factors``, ``evenodd``, ``gauss``, ``formulation``,
+    ``use_pallas``, ``pallas_interpret``) pass through to MXUTransform
+    and are ignored for the native provider.
     """
     if backend == "auto":
         plat = jax.default_backend()

@@ -25,7 +25,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 BASELINE_PTS = 20.0 * 128 * 128
 
 
-def _build(nx: int, budgets: bool, pre: bool):
+def _build(nx: int, budgets: bool, pre: bool, form: str = "dotgen"):
     from niwqg_tpu import CoupledModel
     from niwqg_tpu import InitialConditions as ic
 
@@ -34,6 +34,7 @@ def _build(nx: int, budgets: bool, pre: bool):
         L=2 * np.pi * 200e3, nx=nx, dt=157.0, tmax=157.0 * 100,
         m=1.0 / 325, N=0.005, f=1e-4, use_filter=True,
         nu4=7.5e9, nu4w=7.5e9, compute_budgets=budgets,
+        transform_opts={"formulation": form},
     )
     if not pre:
         # must flip before set_q so the state pytree is built without the
@@ -47,8 +48,9 @@ def _build(nx: int, budgets: bool, pre: bool):
     return m
 
 
-def measure(nx: int, budgets: bool, nsteps: int, pre: bool = True):
-    m = _build(nx, budgets, pre)
+def measure(nx: int, budgets: bool, nsteps: int, pre: bool = True,
+            form: str = "dotgen"):
+    m = _build(nx, budgets, pre, form)
     run = m._chunk(nsteps)
 
     t0 = time.time()
@@ -66,7 +68,7 @@ def measure(nx: int, budgets: bool, nsteps: int, pre: bool = True):
     sps = nsteps / dt
     pts = sps * nx * nx
     print(f"RESULT nx={nx} budgets={int(budgets)} pre={int(pre)} "
-          f"steps/s={sps:.2f} pts/s={pts:.3e} "
+          f"form={form} steps/s={sps:.2f} pts/s={pts:.3e} "
           f"vs_baseline={pts / BASELINE_PTS:.1f} "
           f"compile_s={compile_s:.0f} Ke={ke:.6e}", flush=True)
 
@@ -79,6 +81,7 @@ def main():
         budgets = True
         nsteps = 10
         pre = True
+        form = "dotgen"
         for p in parts[1:]:
             k, v = p.split("=")
             if k == "budgets":
@@ -87,9 +90,11 @@ def main():
                 nsteps = int(v)
             elif k == "pre":
                 pre = v != "0"
+            elif k == "form":
+                form = v
         t0 = time.time()
         try:
-            measure(nx, budgets, nsteps, pre)
+            measure(nx, budgets, nsteps, pre, form)
         except Exception as e:  # keep the sweep going
             print(f"RESULT nx={nx} budgets={int(budgets)} FAILED after "
                   f"{time.time() - t0:.0f}s: {e!r}", flush=True)
