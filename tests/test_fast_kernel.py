@@ -66,3 +66,35 @@ def test_fast_matches_faithful(model_mod):
         # ill-posed
         scale = np.abs(va).max()
         assert np.abs(va - vb).max() < 1e-9 * scale + 1e-18, name
+
+
+@pytest.mark.parametrize("fast", [False, True])
+def test_compute_budgets_off(fast):
+    """compute_budgets=False must not change the trajectory: prognostic
+    fields and the instantaneous (cadenced) diagnostics are identical to a
+    budgets-on run; only the RK4-integrated Ke/Pw/Kw accumulators freeze
+    (they keep their set_q/set_phi values)."""
+    on = _run(CoupledModel, fast=fast, nsteps=6)
+    off_m = CoupledModel.Model(use_filter=False, U=-0.05, tdiags=1,
+                               tmax=6 * 10000.0, fast=fast,
+                               compute_budgets=False)
+    k0 = 10 * (2 * np.pi / off_m.L)
+    q = ic.LambDipole(off_m, U=0.05, R=2 * np.pi / k0)
+    off_m.set_q(q)
+    off_m.set_phi((np.ones_like(q) + 1j) * 5 * 0.05 / np.sqrt(2))
+    Ke0, Pw0, Kw0 = (float(off_m.state.Ke), float(off_m.state.Pw),
+                     float(off_m.state.Kw))
+    off_m.run()
+
+    np.testing.assert_array_equal(np.asarray(off_m.q), np.asarray(on.q))
+    np.testing.assert_array_equal(np.asarray(off_m.phi), np.asarray(on.phi))
+    # instantaneous diagnostics unaffected
+    for name in ("ke_qg", "ke_niw", "pe_niw", "ens"):
+        np.testing.assert_array_equal(on.diagnostics[name]["value"],
+                                      off_m.diagnostics[name]["value"])
+    # integrated budgets frozen at their initialization values
+    assert float(off_m.state.Ke) == Ke0
+    assert float(off_m.state.Pw) == Pw0
+    assert float(off_m.state.Kw) == Kw0
+    # and the budgets-on run did integrate (sanity that the A/B is real)
+    assert float(on.state.Ke) != Ke0
