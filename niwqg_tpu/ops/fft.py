@@ -168,17 +168,17 @@ def _mm_high(a, b, dn):
     return _dot(a, b[0], dn, precision=jax.lax.Precision.HIGH)
 
 
-def _auto_factors(nx: int, min_n: int = 2048):
+def _auto_factors(nx: int, min_n: int = 1024):
     """Pick (n1, n2) for the four-step factorization, or None for dense.
 
     Dense is O(n) matmul work per point; four-step is O(n1+n2) but with
     poorer MXU utilisation on the small-K stage. Measured on the target
-    v5e (ms per 2048x2048 c64 slice, 'split' precision): dense 5.15,
-    (128,16) 3.55, (64,32) 6.79; at 1024 dense 0.66 vs (128,8) 0.60 —
-    so for full-grid passes: dense below 2048, and n1=128 (one MXU-perfect
-    stage) above. The even/odd half-length DFTs inside rfft2/irfft2 use
-    ``min_n=1024`` so a 2048² grid's length-1024 half transforms get the
-    (marginally faster) four-step too.
+    v5e under the dotgen formulation (same-process A/Bs): at 1024 the
+    four-step (128,8) wins 1.7x on roundtrips (2.24 vs 3.72 ms/slice) and
+    +50% on the full coupled step (91.9 vs 61.5 steps/s); at 512 it is a
+    wash (0.38 vs 0.37) so dense stays below 1024; at 2048 (128,16) beats
+    (64,32) 2.3x; at 4096 (128,32) ~= (64,64). n1=128 keeps one
+    MXU-perfect stage everywhere.
     """
     if nx < min_n or (nx & (nx - 1)) != 0:
         return None

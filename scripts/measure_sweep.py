@@ -25,16 +25,20 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 BASELINE_PTS = 20.0 * 128 * 128
 
 
-def _build(nx: int, budgets: bool, pre: bool, form: str = "dotgen"):
+def _build(nx: int, budgets: bool, pre: bool, form: str = "dotgen",
+           n1: int = 0):
     from niwqg_tpu import CoupledModel
     from niwqg_tpu import InitialConditions as ic
 
+    topts = {"formulation": form}
+    if n1:
+        topts["factors"] = (n1, nx // n1)
     U0 = 0.05
     m = CoupledModel.Model(
         L=2 * np.pi * 200e3, nx=nx, dt=157.0, tmax=157.0 * 100,
         m=1.0 / 325, N=0.005, f=1e-4, use_filter=True,
         nu4=7.5e9, nu4w=7.5e9, compute_budgets=budgets,
-        transform_opts={"formulation": form},
+        transform_opts=topts,
     )
     if not pre:
         # must flip before set_q so the state pytree is built without the
@@ -49,8 +53,8 @@ def _build(nx: int, budgets: bool, pre: bool, form: str = "dotgen"):
 
 
 def measure(nx: int, budgets: bool, nsteps: int, pre: bool = True,
-            form: str = "dotgen"):
-    m = _build(nx, budgets, pre, form)
+            form: str = "dotgen", n1: int = 0):
+    m = _build(nx, budgets, pre, form, n1)
     run = m._chunk(nsteps)
 
     t0 = time.time()
@@ -68,7 +72,7 @@ def measure(nx: int, budgets: bool, nsteps: int, pre: bool = True,
     sps = nsteps / dt
     pts = sps * nx * nx
     print(f"RESULT nx={nx} budgets={int(budgets)} pre={int(pre)} "
-          f"form={form} steps/s={sps:.2f} pts/s={pts:.3e} "
+          f"form={form} n1={n1} steps/s={sps:.2f} pts/s={pts:.3e} "
           f"vs_baseline={pts / BASELINE_PTS:.1f} "
           f"compile_s={compile_s:.0f} Ke={ke:.6e}", flush=True)
 
@@ -82,6 +86,7 @@ def main():
         nsteps = 10
         pre = True
         form = "dotgen"
+        n1 = 0
         for p in parts[1:]:
             k, v = p.split("=")
             if k == "budgets":
@@ -92,9 +97,11 @@ def main():
                 pre = v != "0"
             elif k == "form":
                 form = v
+            elif k == "n1":
+                n1 = int(v)
         t0 = time.time()
         try:
-            measure(nx, budgets, nsteps, pre, form)
+            measure(nx, budgets, nsteps, pre, form, n1)
         except Exception as e:  # keep the sweep going
             print(f"RESULT nx={nx} budgets={int(budgets)} FAILED after "
                   f"{time.time() - t0:.0f}s: {e!r}", flush=True)
