@@ -1,0 +1,254 @@
+import functools, os, sys, time
+import numpy as np
+sys.path.insert(0, "/root/repo")
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+f32 = jnp.float32
+n, TR, N1 = 2048, 128, 16
+N2 = n // 16
+rng = np.random.default_rng(0)
+
+def mask_split_np(m):
+    m = m.astype(np.float32)
+    hi = (m.view(np.uint32) & np.uint32(0xFFFF0000)).view(np.float32)
+    return hi, m - hi
+
+def block_real(M):
+    return np.block([[M.real, M.imag], [-M.imag, M.real]])
+
+def triple_rows(B):
+    bh, bl = mask_split_np(B)
+    return np.vstack([bl, bh, bh]).astype(np.float32)
+
+a_ = np.arange(N1); b_ = np.arange(N2)
+M1 = np.exp(-2j*np.pi*np.outer(a_, a_)/N1)
+M2 = np.exp(-2j*np.pi*np.outer(b_, b_)/N2)
+T = np.exp(-2j*np.pi*np.outer(b_, a_)/n)
+B1 = jnp.asarray(triple_rows(block_real(M1)))
+M2r3 = jnp.asarray(triple_rows(M2.real))
+M2i3 = jnp.asarray(triple_rows(M2.imag))
+TWA = jnp.asarray(np.concatenate([T.real, T.real], 1).astype(np.float32))
+TWB = jnp.asarray(np.concatenate([-T.imag, T.imag], 1).astype(np.float32))
+
+def split(x):
+    xi = jax.lax.bitcast_convert_type(x, jnp.uint32)
+    hi = jax.lax.bitcast_convert_type(xi & jnp.uint32(0xFFFF0000), f32)
+    return hi, x - hi
+
+DN_SUB = (((1,), (0,)), ((), ()))
+DN_MIN = (((2,), (0,)), ((), ()))
+NBUF = 2
+
+def mega_a(zre_hbm, zim_hbm, b1_ref, out_hbm,
+           zre_v, zim_v, s1_v, in_sem, out_sem):
+    ntiles = zre_hbm.shape[0] // TR
+
+    def in_dma(slot, i):
+        c1 = pltpu.make_async_copy(
+            zre_hbm.at[pl.ds(i * TR, TR), :], zre_v.at[slot],
+            in_sem.at[slot, 0])
+        c2 = pltpu.make_async_copy(
+            zim_hbm.at[pl.ds(i * TR, TR), :], zim_v.at[slot],
+            in_sem.at[slot, 1])
+        return c1, c2
+
+    def out_dma(slot, i):
+        return pltpu.make_async_copy(
+            s1_v.at[slot], out_hbm.at[pl.ds(i * TR, TR)], out_sem.at[slot])
+
+    for c in in_dma(0, 0):
+        c.start()
+
+    def body(i, _):
+        slot = lax.rem(i, NBUF)
+        nslot = lax.rem(i + 1, NBUF)
+
+        @pl.when(i + 1 < ntiles)
+        def _():
+            for c in in_dma(nslot, i + 1):
+                c.start()
+
+        for c in in_dma(slot, i):
+            c.wait()
+
+        # wait for the previous out DMA using this slot
+        @pl.when(i >= NBUF)
+        def _():
+            out_dma(slot, i - NBUF).wait()
+
+        zre = zre_v[slot].reshape(TR, N1, N2)
+        zim = zim_v[slot].reshape(TR, N1, N2)
+        z2 = jnp.concatenate([zre, zim], axis=1)
+        zh, zl = split(z2)
+        z6 = jnp.concatenate([z2, zl, zh], axis=1)
+        s1_v[slot] = jax.lax.dot_general(z6, b1_ref[:], DN_SUB,
+                                         preferred_element_type=f32)
+        out_dma(slot, i).start()
+        return ()
+
+    lax.fori_loop(0, ntiles, body, ())
+    # drain the last NBUF out-DMAs
+    for k in range(NBUF):
+        idx = ntiles - NBUF + k
+
+        @pl.when(idx >= 0)
+        def _():
+            out_dma(lax.rem(idx, NBUF), idx).wait()
+
+
+def mega_b(s1_hbm, twa_ref, twb_ref, m2r_ref, m2i_ref,
+           ore_hbm, oim_hbm, s1_v, ore_v, oim_v, in_sem, out_sem):
+    ntiles = s1_hbm.shape[0] // TR
+
+    def in_dma(slot, i):
+        return pltpu.make_async_copy(
+            s1_hbm.at[pl.ds(i * TR, TR)], s1_v.at[slot], in_sem.at[slot])
+
+    def out_dma(slot, i):
+        c1 = pltpu.make_async_copy(
+            ore_v.at[slot], ore_hbm.at[pl.ds(i * TR, TR)],
+            out_sem.at[slot, 0])
+        c2 = pltpu.make_async_copy(
+            oim_v.at[slot], oim_hbm.at[pl.ds(i * TR, TR)],
+            out_sem.at[slot, 1])
+        return c1, c2
+
+    in_dma(0, 0).start()
+
+    def body(i, _):
+        slot = lax.rem(i, NBUF)
+        nslot = lax.rem(i + 1, NBUF)
+
+        @pl.when(i + 1 < ntiles)
+        def _():
+            in_dma(nslot, i + 1).start()
+
+        in_dma(slot, i).wait()
+
+        @pl.when(i >= NBUF)
+        def _():
+            for c in out_dma(slot, i - NBUF):
+                c.wait()
+
+        s1 = s1_v[slot]
+        tw = s1 * twa_ref[:] + pltpu.roll(s1, shift=16, axis=2) * twb_ref[:]
+        sw = jnp.swapaxes(tw, 1, 2)
+        swh, swl = split(sw)
+        sw3 = jnp.concatenate([sw, swl, swh], axis=2)
+        dR = jax.lax.dot_general(sw3, m2r_ref[:], DN_MIN,
+                                 preferred_element_type=f32)
+        dI = jax.lax.dot_general(sw3, m2i_ref[:], DN_MIN,
+                                 preferred_element_type=f32)
+        cre = dR[:, :16, :] - dI[:, 16:, :]
+        cim = dI[:, :16, :] + dR[:, 16:, :]
+        ore_v[slot] = jnp.swapaxes(cre, 1, 2)
+        oim_v[slot] = jnp.swapaxes(cim, 1, 2)
+        for c in out_dma(slot, i):
+            c.start()
+        return ()
+
+    lax.fori_loop(0, ntiles, body, ())
+    for k in range(NBUF):
+        idx = ntiles - NBUF + k
+
+        @pl.when(idx >= 0)
+        def _():
+            for c in out_dma(lax.rem(idx, NBUF), idx):
+                c.wait()
+
+
+def make_pass(R):
+    any_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+
+    call_a = functools.partial(
+        pl.pallas_call, mega_a,
+        in_specs=[any_spec, any_spec, vmem],
+        out_specs=any_spec,
+        out_shape=jax.ShapeDtypeStruct((R, N2, 32), f32),
+        scratch_shapes=[
+            pltpu.VMEM((NBUF, TR, n), f32),
+            pltpu.VMEM((NBUF, TR, n), f32),
+            pltpu.VMEM((NBUF, TR, N2, 32), f32),
+            pltpu.SemaphoreType.DMA((NBUF, 2)),
+            pltpu.SemaphoreType.DMA((NBUF,)),
+        ],
+        compiler_params=pltpu.CompilerParams(has_side_effects=True))()
+
+    call_b = functools.partial(
+        pl.pallas_call, mega_b,
+        in_specs=[any_spec, vmem, vmem, vmem, vmem],
+        out_specs=(any_spec, any_spec),
+        out_shape=(jax.ShapeDtypeStruct((R, N2, N1), f32),) * 2,
+        scratch_shapes=[
+            pltpu.VMEM((NBUF, TR, N2, 32), f32),
+            pltpu.VMEM((NBUF, TR, N2, N1), f32),
+            pltpu.VMEM((NBUF, TR, N2, N1), f32),
+            pltpu.SemaphoreType.DMA((NBUF,)),
+            pltpu.SemaphoreType.DMA((NBUF, 2)),
+        ],
+        compiler_params=pltpu.CompilerParams(has_side_effects=True))()
+
+    def go(zre, zim):
+        s1 = call_a(zre, zim, B1)
+        o1, o2 = call_b(s1, TWA, TWB, M2r3, M2i3)
+        return o1.reshape(R, n), o2.reshape(R, n)
+    return go
+
+# correctness single batch
+R = 4 * n
+fused = make_pass(R)
+Zr_np = rng.standard_normal((R, n)).astype(np.float32)
+Zi_np = rng.standard_normal((R, n)).astype(np.float32)
+Zr, Zi = jnp.asarray(Zr_np), jnp.asarray(Zi_np)
+try:
+    hr, hi_ = jax.jit(fused)(Zr, Zi)
+    want = np.fft.fft(Zr_np.astype(np.float64) + 1j*Zi_np, axis=-1)
+    got = np.asarray(hr).astype(np.float64) + 1j*np.asarray(hi_)
+    rel = np.abs(got-want).max()/np.abs(want).max()
+    print(f"MEGA accuracy: rel={rel:.2e}", flush=True)
+except Exception as e:
+    print(f"MEGA FAIL: {type(e).__name__}: {str(e)[:200]}", flush=True)
+    sys.exit(0)
+
+from niwqg_tpu.carray import C
+from niwqg_tpu.ops.fft import MXUTransform
+mxu = MXUTransform(n, np.float32)
+
+def xla_fwd(a, bb):
+    h = mxu._cdft.along(C(a, bb), inverse=False, axis=-1)
+    return h.re, h.im
+
+CHAIN = 50
+BATCH = 4
+
+def chain(fn):
+    def run(state):
+        def body(c, _):
+            o = fn(c[0], c[1])
+            return (o[0] * (1.0/64.0), o[1] * (1.0/64.0)), None
+        return lax.scan(body, state, None, length=CHAIN)[0]
+    return jax.jit(run)
+
+def timed(label, fn, state):
+    t0 = time.time()
+    out = fn(state)
+    s0 = float(np.asarray(out[0]).ravel()[0])
+    compile_s = time.time()-t0
+    assert np.isfinite(s0), label
+    best = np.inf
+    for _ in range(3):
+        t0 = time.time()
+        out = fn(out)
+        float(np.asarray(out[0]).ravel()[0])
+        best = min(best, time.time()-t0)
+    print(f"SPEED {label}: {best/CHAIN/BATCH*1e3:.3f} ms/slice "
+          f"(compile {compile_s:.0f}s)", flush=True)
+
+timed("xla-1d-fwd", chain(xla_fwd), (Zr, Zi))
+timed("mega-1d-fwd", chain(fused), (Zr, Zi))
+time.sleep(2)
