@@ -666,10 +666,10 @@ class YBJModel(_WaveModel):
     model = " YBJ Model (Steady QG flow)"
 
     def _make_kernel(self, dtype, backend, precision, faithful_quirks=True,
-                     transform=None):
+                     transform=None, transform_opts=None):
         return YBJKernel(self.params, faithful_quirks=faithful_quirks,
                          dtype=dtype, backend=backend, precision=precision,
-                         transform=transform)
+                         transform=transform, transform_opts=transform_opts)
 
 
 class QGModel(_ModelBase):
@@ -683,7 +683,7 @@ class QGModel(_ModelBase):
                  nu4c=5.0e9, nuc=0, muc=0, dealias=False, save_to_disk=False,
                  overwrite=True, tsave_snapshots=10, tdiags=10,
                  path="output/", dtype=None, backend="auto",
-                 precision="auto", mesh=None):
+                 precision="auto", mesh=None, transform_opts=None):
         del ny, tswrite
         self.params = QGParams(
             nx=nx, L=L, dt=dt, tmax=tmax, twrite=int(twrite), cflmax=0.5,
@@ -694,14 +694,12 @@ class QGModel(_ModelBase):
         )
         dtype = dtype or _default_dtype()
         self._mesh = mesh
-        kw = {}
+        kw = {"transform_opts": transform_opts}
         if mesh is not None:
             # distributed transforms keep the reference's half-spectrum
             # layout (pencil rfft pads columns to a mesh-divisible count)
-            kw = dict(
-                transform=_make_sharded_transform(nx, dtype, mesh, backend,
-                                                  precision),
-            )
+            kw["transform"] = _make_sharded_transform(nx, dtype, mesh,
+                                                      backend, precision)
         self.kernel = QGKernel(self.params, dtype=dtype, backend=backend,
                                precision=precision, **kw)
         self.state = self._shard(self.kernel.zero_state())

@@ -26,26 +26,40 @@ BASELINE_PTS = 20.0 * 128 * 128
 
 
 def _build(nx: int, budgets: bool, pre: bool, form: str = "dotgen",
-           n1: int = 0):
-    from niwqg_tpu import CoupledModel
+           n1: int = 0, model: str = "coupled"):
+    from niwqg_tpu import CoupledModel, QGModel, YBJModel
     from niwqg_tpu import InitialConditions as ic
 
     topts = {"formulation": form}
     if n1:
         topts["factors"] = (n1, nx // n1)
     U0 = 0.05
-    m = CoupledModel.Model(
-        L=2 * np.pi * 200e3, nx=nx, dt=157.0, tmax=157.0 * 100,
-        m=1.0 / 325, N=0.005, f=1e-4, use_filter=True,
-        nu4=7.5e9, nu4w=7.5e9, compute_budgets=budgets,
-        transform_opts=topts,
-    )
+    L = 2 * np.pi * 200e3
+    k0 = 10 * (2 * np.pi / L)
+    if model == "qg":
+        m = QGModel.Model(L=L, nx=nx, dt=157.0, tmax=157.0 * 100,
+                          beta=1e-11, nu4=7.5e9, use_filter=True,
+                          passive_scalar=True, transform_opts=topts)
+        q = ic.LambDipole(m, U=U0, R=2 * np.pi / k0)
+        m.set_q(q)
+        m.set_c(np.asarray(q, dtype=np.float32).copy())
+        return m
+    if model == "ybj":
+        m = YBJModel.Model(L=L, nx=nx, dt=157.0, tmax=157.0 * 100,
+                           m=1.0 / 325, N=0.005, f=1e-4, use_filter=True,
+                           nu4w=7.5e9, transform_opts=topts)
+    else:
+        m = CoupledModel.Model(
+            L=L, nx=nx, dt=157.0, tmax=157.0 * 100,
+            m=1.0 / 325, N=0.005, f=1e-4, use_filter=True,
+            nu4=7.5e9, nu4w=7.5e9, compute_budgets=budgets,
+            transform_opts=topts,
+        )
     if not pre:
         # must flip before set_q so the state pytree is built without the
         # optional lap fields (stage_sources then uses its fallback batch)
         m.kernel._precompute_budgets = False
         m.state = m.kernel.zero_state()
-    k0 = 10 * (2 * np.pi / m.L)
     q = ic.LambDipole(m, U=U0, R=2 * np.pi / k0)
     m.set_q(q)
     m.set_phi((np.ones_like(q) + 1j) * 5 * U0 / np.sqrt(2))
@@ -53,27 +67,30 @@ def _build(nx: int, budgets: bool, pre: bool, form: str = "dotgen",
 
 
 def measure(nx: int, budgets: bool, nsteps: int, pre: bool = True,
-            form: str = "dotgen", n1: int = 0):
-    m = _build(nx, budgets, pre, form, n1)
+            form: str = "dotgen", n1: int = 0, model: str = "coupled"):
+    m = _build(nx, budgets, pre, form, n1, model)
     run = m._chunk(nsteps)
+
+    def ke_of(state):
+        return float(np.asarray(state.Ke))
 
     t0 = time.time()
     state = run(m.state)
-    ke = float(np.asarray(state.Ke))
+    ke = ke_of(state)
     compile_s = time.time() - t0
     assert np.isfinite(ke), f"non-finite Ke after warmup: {ke}"
 
     t0 = time.time()
     state = run(state)
-    ke = float(np.asarray(state.Ke))
+    ke = ke_of(state)
     dt = time.time() - t0
     assert np.isfinite(ke), f"non-finite Ke after bench: {ke}"
 
     sps = nsteps / dt
     pts = sps * nx * nx
-    print(f"RESULT nx={nx} budgets={int(budgets)} pre={int(pre)} "
-          f"form={form} n1={n1} steps/s={sps:.2f} pts/s={pts:.3e} "
-          f"vs_baseline={pts / BASELINE_PTS:.1f} "
+    print(f"RESULT model={model} nx={nx} budgets={int(budgets)} "
+          f"pre={int(pre)} form={form} n1={n1} steps/s={sps:.2f} "
+          f"pts/s={pts:.3e} vs_baseline={pts / BASELINE_PTS:.1f} "
           f"compile_s={compile_s:.0f} Ke={ke:.6e}", flush=True)
 
 
@@ -87,6 +104,7 @@ def main():
         pre = True
         form = "dotgen"
         n1 = 0
+        model = "coupled"
         for p in parts[1:]:
             k, v = p.split("=")
             if k == "budgets":
@@ -99,9 +117,11 @@ def main():
                 form = v
             elif k == "n1":
                 n1 = int(v)
+            elif k == "model":
+                model = v
         t0 = time.time()
         try:
-            measure(nx, budgets, nsteps, pre, form, n1)
+            measure(nx, budgets, nsteps, pre, form, n1, model)
         except Exception as e:  # keep the sweep going
             print(f"RESULT nx={nx} budgets={int(budgets)} FAILED after "
                   f"{time.time() - t0:.0f}s: {e!r}", flush=True)
