@@ -475,7 +475,7 @@ class _WaveModel(_ModelBase):
                  path="output/", dtype=None, backend="auto",
                  precision="auto", mesh=None, fast=None,
                  snapshot_format="h5", compute_budgets=True,
-                 **kernel_kwargs):
+                 spectral_budgets=True, **kernel_kwargs):
         del ny  # accepted but ignored, as in the reference (Kernel.py:101)
         if fast is None:
             # batched fast kernel by default on TPU-like backends
@@ -490,6 +490,7 @@ class _WaveModel(_ModelBase):
             mu=mu, muw=muw, use_filter=use_filter, dealias=dealias,
             tdiags=tdiags, tsave_snapshots=tsave_snapshots,
             compute_budgets=compute_budgets,
+            spectral_budgets=spectral_budgets,
         )
         dtype = dtype or _default_dtype()
         self._mesh = mesh

@@ -17,7 +17,16 @@ Same ETDRK4 stage structure, budget integration and physics as
     work per real field with exact same-field arithmetic. This replaces
     the round-1 two-for-one *pair* packing, whose cross-field unpack
     leaked ``eps*||big||`` noise between paired fields and NaN'd a
-    100-step 4096² f32 run once the k² wave-PV factors amplified it.
+    100-step 4096² f32 run once the k² wave-PV factors amplified it;
+  - with ``spectral_budgets=True`` (default) the per-stage energy-budget
+    sources (``niwqg/Kernel.py:629-701``) are evaluated by Parseval
+    instead of in physical space, which makes them FREE of transforms:
+    every quadratic mean is a weighted reduction of ``|phih|^2`` or
+    ``Re(conj(qh)*ph)``, and every triple-product conversion term pairs a
+    prognostic spectrum with a forward transform the stage already does
+    for the RHS — ``fft(J(psi,phi))`` and ``fft(phi*q_psi)`` (see
+    :meth:`_sources_spectral` for the identities). The physical path
+    needed 4 complex + 2 real inverse transforms per stage.
 
 Agrees with the faithful kernel to rounding error (f64 CPU: ~1e-12 over
 multiple steps; asserted in ``tests/test_fast_kernel.py``). This is a
@@ -27,15 +36,46 @@ multiple steps; asserted in ``tests/test_fast_kernel.py``). This is a
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
 from ..carray import C, jmul, mul_i, stack, unstack
 from ..ops import spectral
-from .kernel import Derived, StageSources, WaveKernel
-from .ql import QLPhysics
+from .kernel import Derived, KernelParams, StageSources, WaveKernel, WavePhysics
 
 
 class FastWaveKernel(WaveKernel):
     """Batched-transform wave kernel (Coupled / UnCoupled / QL physics)."""
+
+    def __init__(self, params: KernelParams, physics: WavePhysics, **kw):
+        super().__init__(params, physics, **kw)
+        # Spectral-budget weight tables (f64 numpy, cast once). All three
+        # fold the dissipation coefficients into a single wavenumber
+        # weight so each budget scalar is ONE weighted reduction:
+        #   w_d      : hat of the phi-dissipation operator,
+        #              diss_phi = w_d * phih  (also = the ep_phi density
+        #              weight, since ep_phi = mean(Re(conj(phi)*diss_phi)))
+        #   w_chi    : chi_phi density weight over |phih|^2
+        #   w_eppsi  : ep_psi density weight over Re(conj(qh)*ph)
+        p = params
+        wv2 = self.grid.wv2_np.astype(np.float64)
+        wv4 = self.grid.wv4_np.astype(np.float64)
+        k2 = p.kappa2
+        w_d = -(p.nu4w * wv4 + p.nuw * wv2 + p.muw)
+        w_chi = -0.5 * (p.nu4w * wv2 * wv4 + p.nuw * wv4 + p.muw * wv2) / k2
+        w_eppsi = p.nu4 * wv4 + p.nu * wv2 + p.mu
+        self._w_d = jnp.asarray(w_d.astype(self.dtype))
+        self._w_chi = jnp.asarray(w_chi.astype(self.dtype))
+        self._w_eppsi = jnp.asarray(w_eppsi.astype(self.dtype))
+
+    @property
+    def _spectral_src(self) -> bool:
+        # bug-for-bug stale-gradient mode must keep the physical-space
+        # evaluation: spectrally, the gradient-dependent quadratics
+        # (ep_phi's nuw term, chi_phi's muw term) always see FRESH
+        # gradients (they read phih), while the reference integrates the
+        # stale physical phix/phiy (``niwqg/Kernel.py:608-611``).
+        return self.params.spectral_budgets and \
+            not self.physics.stale_phi_gradients
 
     # ------------------------------------------------------------------
     def derive(self, qh: C, phih: C, prev=None) -> Derived:
@@ -56,7 +96,7 @@ class FastWaveKernel(WaveKernel):
             qwh = C.zeros(qh.shape, qh.dtype)
 
         ph = -((qh - qwh) * g.wv2i)
-        if not isinstance(self.physics, QLPhysics):
+        if self.physics.hermitian_ph:
             # Coupled/UnCoupled invert through a fft(real(ifft(.)))
             # sandwich (``CoupledModel.py:91-94``, ``UnCoupledModel.py:60-61``)
             # = Hermitian projection; QL keeps ph unprojected
@@ -70,7 +110,146 @@ class FastWaveKernel(WaveKernel):
                        phix=phix, phiy=phiy, u=u, v=v)
 
     # ------------------------------------------------------------------
+    # shared RHS products (also feed the spectral budget sources)
+    # ------------------------------------------------------------------
+    def _wave_products(self, qh: C, D: Derived):
+        """Forward transforms of the stage's nonlinear products:
+        ``fft(J_adv)`` (the advection term entering the phi-RHS),
+        ``fft(phi*q_psi)`` (refraction, pre-``0.5j``), and ``fft(J_full)``
+        — the Jacobian by the FULL geostrophic flow, which the budget
+        sources use (``niwqg/Kernel.py:664-701`` reads ``self.u/self.v``).
+        For Coupled/UnCoupled ``J_adv == J_full``; QL advects waves by the
+        q-part velocities only (``QLModel.py:54-67``), so it transforms
+        one extra field in the same batch."""
+        g, tr = self.grid, self.tr
+        refr_prod = D.phi * D.q_psi
+        if self.physics.advect_by_vortex_flow:
+            ph_q = -(qh * g.wv2i)
+            uv = tr.ifft2_real(stack([mul_i(ph_q, -g.l), mul_i(ph_q, g.k)]))
+            j_adv = D.phix * uv[0] + D.phiy * uv[1]
+            j_full = D.phix * D.u + D.phiy * D.v
+            nlc = tr.fft2(stack([j_adv, refr_prod, j_full]))
+            jacwh_raw, refrh_raw, jh_full = unstack(nlc, 3)
+        else:
+            j_full = D.phix * D.u + D.phiy * D.v
+            nlc = tr.fft2(stack([j_full, refr_prod]))
+            jacwh_raw, refrh_raw = unstack(nlc, 2)
+            jh_full = jacwh_raw
+        return jacwh_raw, refrh_raw, jh_full
+
+    def _rhs_from_products(self, D: Derived, jacwh_raw: C, refrh_raw: C):
+        g, tr = self.grid, self.tr
+        uvqh = tr.fft2_real(jnp.stack([D.u * D.q, D.v * D.q]))
+        jacq = spectral.zero_mean_mode(mul_i(uvqh[0], g.k)
+                                       + mul_i(uvqh[1], g.l))
+        Fn = -jacq
+        jacwh = jacwh_raw
+        if self.physics.zero_mean_jac_psi_phi:
+            jacwh = spectral.zero_mean_mode(jacwh)
+        Fnw = -jacwh - jmul(refrh_raw, 0.5)
+        return Fn, Fnw
+
+    def stage_terms(self, qh: C, phih: C, D: Derived, want_sources: bool):
+        jacwh_raw, refrh_raw, jh_full = self._wave_products(qh, D)
+        Fn, Fnw = self._rhs_from_products(D, jacwh_raw, refrh_raw)
+        if not want_sources:
+            src = self.zero_sources()
+        elif self._spectral_src:
+            src = self._sources_spectral(qh, phih, D, refrh_raw, jh_full)
+        else:
+            src = self._stage_sources_batched(qh, phih, D)
+        return Fn, Fnw, src
+
+    def nonlinear(self, qh: C, D: Derived):
+        jacwh_raw, refrh_raw, _ = self._wave_products(qh, D)
+        return self._rhs_from_products(D, jacwh_raw, refrh_raw)
+
+    # ------------------------------------------------------------------
+    # budget sources
+    # ------------------------------------------------------------------
     def stage_sources(self, qh: C, phih: C, D: Derived) -> StageSources:
+        """Standalone source evaluation (diagnostics cadence); inside the
+        step the sources share the stage's transforms via
+        :meth:`stage_terms`."""
+        if self._spectral_src:
+            _, refrh_raw, jh_full = self._wave_products(qh, D)
+            return self._sources_spectral(qh, phih, D, refrh_raw, jh_full)
+        return self._stage_sources_batched(qh, phih, D)
+
+    def _sources_spectral(self, qh: C, phih: C, D: Derived,
+                          refrh_raw: C, jh_full: C) -> StageSources:
+        """Parseval evaluation of ``niwqg/Kernel.py:629-701``: exact
+        re-associations of the physical-space means, zero transforms.
+
+        With ``Rh = fft(phi*q_psi)``, ``Jh = fft(phix*u + phiy*v)``,
+        ``lapphi_h = -wv2*phih`` and ``diss_phi_h = w_d*phih``:
+
+          ep_phi  = mean(Re(conj(phi) diss_phi))        = Σ w_d|phih|²/M²
+          chi_phi = (quadratic gradient means)           = Σ w_chi|phih|²/M²
+          ep_psi  = nu4 mean(q lap²ψ) − nu mean(p lap q) + mu mean(p q)
+                  = Σ w_eppsi Re(conj(qh) ph)/M²
+          gamma1  = ¼ hslash/f mean(q_psi Im(conj(phi) lapphi))
+                  = ¼ hslash/f Im(Σ conj(Rh)(−wv2 phih))/M²
+          gamma2  = ½ hslash/f mean(Re(conj(lapphi) J))
+                  = ½ hslash/f Re(Σ conj(−wv2 phih) Jh)/M²
+          xi1     = −mean(Im(diss_phi conj(J)))/f
+                  = −Im(Σ w_d phih conj(Jh))/M²/f
+          xi2     = ½ mean(Re(diss_phi conj(phi)) q_psi)/f
+                  = ½ Re(Σ w_d phih conj(Rh))/M²/f
+          pi      = ½ Im(phih[0,0] conj(Rh[0,0]))/M²
+
+        The q_psi-weighted terms fold the real factor into the conjugated
+        transform (``q_psi`` real ⇒ ``conj(phi) q_psi = conj(phi q_psi)``).
+        ``Jh``/``Rh`` are the raw products — BEFORE the Jacobian's
+        mean-mode zeroing and the refraction's ``0.5j`` factor — because
+        the reference's physical-space means see the un-zeroed products.
+        """
+        g, p = self.grid, self.params
+        M2 = self._s(1.0 / float(g.M) ** 2)
+        hs, f = p.hslash, p.f
+
+        aphi2 = phih.abs2()
+        ep_phi = (self._w_d * aphi2).sum() * M2
+        chi_phi = (self._w_chi * aphi2).sum() * M2
+
+        # ep_psi pairs ph with qh; the Parseval identity matches the
+        # physical-space mean of the ``real(ifft(.))`` fields exactly iff
+        # one side is Hermitian. qh carries genuine anti-Hermitian content
+        # in the unpaired Nyquist modes (mean-flow advection rotates them
+        # off the real axis), so when the physics keeps ph unprojected
+        # (QL) we project it here — reproducing what ``ifft(ph).real``
+        # computes (``spectral.hermitian_project``).
+        ph = D.ph if self.physics.hermitian_ph \
+            else spectral.hermitian_project(D.ph)
+        rqp = qh.re * ph.re + qh.im * ph.im  # Re(conj(qh)*ph)
+        ep_psi = (self._w_eppsi * rqp).sum() * M2
+
+        # Im(conj(Rh) * (-wv2*phih)) and Re(conj(-wv2*phih) * Jh)
+        gamma1 = (0.25 * hs / f) * M2 * (
+            (-g.wv2) * (refrh_raw.re * phih.im - refrh_raw.im * phih.re)
+        ).sum()
+        gamma2 = (0.5 * hs / f) * M2 * (
+            (-g.wv2) * (phih.re * jh_full.re + phih.im * jh_full.im)
+        ).sum()
+        # Im(w_d*phih * conj(Jh)) and Re(w_d*phih * conj(Rh))
+        xi1 = (-1.0 / f) * M2 * (
+            self._w_d * (phih.im * jh_full.re - phih.re * jh_full.im)
+        ).sum()
+        xi2 = (0.5 / f) * M2 * (
+            self._w_d * (phih.re * refrh_raw.re + phih.im * refrh_raw.im)
+        ).sum()
+        pi = 0.5 * M2 * (phih.im[0, 0] * refrh_raw.re[0, 0]
+                         - phih.re[0, 0] * refrh_raw.im[0, 0])
+
+        k_src = -(gamma1 + gamma2) + (xi1 + xi2) + ep_psi
+        p_src = gamma1 + gamma2 + chi_phi
+        a_src = ep_phi
+        return StageSources(k_src, p_src, a_src, gamma1, gamma2, xi1, xi2, pi,
+                            ep_psi, chi_phi, ep_phi)
+
+    def _stage_sources_batched(self, qh: C, phih: C, D: Derived) -> StageSources:
+        """Physical-space sources with batched transforms (used when
+        ``spectral_budgets=False`` or in the stale-gradient quirks mode)."""
         g, tr = self.grid, self.tr
         batch = tr.ifft2(stack([
             phih * (-g.wv2),                 # lapphi
@@ -83,27 +262,3 @@ class FastWaveKernel(WaveKernel):
         lap2psi, lapq = rb[0], rb[1]
         return self.sources_from_fields(D, lapphi, lap2phi, lphix, lphiy,
                                         lap2psi, lapq)
-
-    # ------------------------------------------------------------------
-    def nonlinear(self, qh: C, D: Derived):
-        g, tr = self.grid, self.tr
-        if isinstance(self.physics, QLPhysics):
-            ph_q = -(qh * g.wv2i)
-            uv = tr.ifft2_real(stack([mul_i(ph_q, -g.l), mul_i(ph_q, g.k)]))
-            adv_u, adv_v = uv[0], uv[1]
-        else:
-            adv_u, adv_v = D.u, D.v
-
-        uvqh = tr.fft2_real(jnp.stack([D.u * D.q, D.v * D.q]))
-        nlc = tr.fft2(stack([
-            D.phix * adv_u + D.phiy * adv_v,
-            D.phi * D.q_psi,
-        ]))
-        jacwh, refrh = unstack(nlc, 2)
-        jacq = spectral.zero_mean_mode(mul_i(uvqh[0], g.k)
-                                       + mul_i(uvqh[1], g.l))
-        Fn = -jacq
-        if self.physics.zero_mean_jac_psi_phi:
-            jacwh = spectral.zero_mean_mode(jacwh)
-        Fnw = -jacwh - jmul(refrh, 0.5)
-        return Fn, Fnw

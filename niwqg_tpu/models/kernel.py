@@ -66,6 +66,15 @@ class KernelParams:
     # transforms (~30% of the step) and freezes the budget accumulators —
     # for production runs that only need the cadenced diagnostics.
     compute_budgets: bool = True
+    # evaluate the budget sources spectrally (Parseval) in the fast kernel:
+    # every quadratic mean becomes a weighted spectral reduction and every
+    # triple-product term pairs a prognostic spectrum with the nonlinear
+    # transforms the stage already computes, so the sources cost ZERO extra
+    # transforms (vs 4 complex + 2 real inverse transforms per stage for
+    # the physical-space evaluation of ``niwqg/Kernel.py:629-701``). Exact
+    # to rounding (same quantities, re-associated); the faithful kernel
+    # ignores this flag and keeps the reference's physical-space arithmetic.
+    spectral_budgets: bool = True
 
     @property
     def kappa(self) -> float:
@@ -143,6 +152,16 @@ class WavePhysics:
     # UnCoupled's ``_invert`` at ``UnCoupledModel.py:54-64`` does not touch
     # them, unlike Coupled's ``jacobian_phic_phi``)
     stale_phi_gradients = False
+    #   hermitian_ph      — the inversion Hermitian-projects ph (the
+    #                       reference's ``fft(real(ifft(...)))`` sandwich,
+    #                       ``CoupledModel.py:91-94``); QL keeps ph raw
+    #                       (``QLModel.py:86``). Matters at the unpaired
+    #                       Nyquist modes, which mean-flow advection
+    #                       rotates off the Hermitian subspace.
+    #   advect_by_vortex_flow — waves advected by the vortex-part
+    #                       velocities only (quasilinear, ``QLModel.py:54-67``)
+    hermitian_ph = True
+    advect_by_vortex_flow = False
 
     def invert(self, K: "WaveKernel", qh: C, phih: C, phi: C) -> Derived:
         raise NotImplementedError
@@ -289,6 +308,20 @@ class WaveKernel:
         Fnw = -jacw - refr
         return Fn, Fnw
 
+    def zero_sources(self) -> StageSources:
+        z = self._s(0.0)
+        return StageSources(*([z] * len(StageSources._fields)))
+
+    def stage_terms(self, qh: C, phih: C, D: Derived, want_sources: bool):
+        """One stage's RHS nonlinear terms plus (optionally) its budget
+        sources. Hook point: the batched fast kernel overrides this to
+        share the nonlinear-term transforms with the spectral (Parseval)
+        source evaluation."""
+        src = (self.stage_sources(qh, phih, D) if want_sources
+               else self.zero_sources())
+        Fn, Fnw = self.nonlinear(qh, D)
+        return Fn, Fnw, src
+
     # ------------------------------------------------------------------
     # one ETDRK4 step (``niwqg/Kernel.py:307-398``)
     # ------------------------------------------------------------------
@@ -296,15 +329,10 @@ class WaveKernel:
         cq, cw = self.coefs_q, self.coefs_w
         flt = self.grid.filtr
         dt = self._s(self.params.dt)
-        if self.params.compute_budgets:
-            sources = self.stage_sources
-        else:
-            zero = StageSources(*([self._s(0.0)] * len(StageSources._fields)))
-            sources = lambda *a: zero  # noqa: E731
+        want = self.params.compute_budgets
 
         # -- stage 1 (sources from carried state)
-        src1 = sources(s.qh, s.phih, s.d)
-        Fn0, Fn0w = self.nonlinear(s.qh, s.d)
+        Fn0, Fn0w, src1 = self.stage_terms(s.qh, s.phih, s.d, want)
         qh0, phih0 = s.qh, s.phih
         qh = (cq.expch_h * qh0 + Fn0 * cq.Qh) * flt
         phih = (cw.expch_h * phih0 + Fn0w * cw.Qh) * flt
@@ -312,22 +340,19 @@ class WaveKernel:
         D = self.derive(qh, phih, s.d)
 
         # -- stage 2
-        src2 = sources(qh, phih, D)
-        Fna, Fnaw = self.nonlinear(qh, D)
+        Fna, Fnaw, src2 = self.stage_terms(qh, phih, D, want)
         qh = (cq.expch_h * qh0 + Fna * cq.Qh) * flt
         phih = (cw.expch_h * phih0 + Fnaw * cw.Qh) * flt
         D = self.derive(qh, phih, D)
 
         # -- stage 3
-        src3 = sources(qh, phih, D)
-        Fnb, Fnbw = self.nonlinear(qh, D)
+        Fnb, Fnbw, src3 = self.stage_terms(qh, phih, D, want)
         qh = (cq.expch_h * qh1 + (2.0 * Fnb - Fn0) * cq.Qh) * flt
         phih = (cw.expch_h * phih1 + (2.0 * Fnbw - Fn0w) * cw.Qh) * flt
         D = self.derive(qh, phih, D)
 
         # -- stage 4 + final combination
-        src4 = sources(qh, phih, D)
-        Fnc, Fncw = self.nonlinear(qh, D)
+        Fnc, Fncw, src4 = self.stage_terms(qh, phih, D, want)
         qh = (cq.expch * qh0 + Fn0 * cq.f0 + 2.0 * (Fna + Fnb) * cq.fab
               + Fnc * cq.fc) * flt
         phih = (cw.expch * phih0 + Fn0w * cw.f0 + 2.0 * (Fnaw + Fnbw) * cw.fab

@@ -29,6 +29,8 @@ class QLPhysics(WavePhysics):
     zero_mean_jac_psi_phi = False
     has_wave_pv = True
     subtracts_wave_pv = False
+    hermitian_ph = False          # reference QL keeps ph unprojected
+    advect_by_vortex_flow = True
 
     def invert(self, K: WaveKernel, qh: C, phih: C, phi: C) -> Derived:
         g, tr, p = K.grid, K.tr, K.params
