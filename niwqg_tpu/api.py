@@ -684,7 +684,8 @@ class QGModel(_ModelBase):
                  nu4c=5.0e9, nuc=0, muc=0, dealias=False, save_to_disk=False,
                  overwrite=True, tsave_snapshots=10, tdiags=10,
                  path="output/", dtype=None, backend="auto",
-                 precision="auto", mesh=None, transform_opts=None):
+                 precision="auto", mesh=None, transform_opts=None,
+                 spectral_budgets=True):
         del ny, tswrite
         self.params = QGParams(
             nx=nx, L=L, dt=dt, tmax=tmax, twrite=int(twrite), cflmax=0.5,
@@ -692,6 +693,7 @@ class QGModel(_ModelBase):
             passive_scalar=passive_scalar, nu4c=nu4c, nuc=nuc, muc=muc,
             use_filter=use_filter, dealias=dealias, tdiags=tdiags,
             tsave_snapshots=tsave_snapshots,
+            spectral_budgets=spectral_budgets,
         )
         dtype = dtype or _default_dtype()
         self._mesh = mesh
@@ -768,7 +770,7 @@ class QGModel(_ModelBase):
         aux = {"time": t_prev}
         if self.params.passive_scalar:
             C2, gradC2, lapc, Gamma_c = K._scalar_derived(state.ch, state.u,
-                                                          state.v)
+                                                          state.v, state.c)
             aux.update(
                 C2=C2, gradC2=gradC2, Gamma_c=Gamma_c,
                 ep_c=K.ep_c(C2, gradC2, lapc),

@@ -235,3 +235,19 @@ class Grid:
             var_dens = var_dens.at[:, self.nx // 2].mul(0.5)
         var_dens = var_dens.at[0, 0].set(0.0)
         return var_dens.sum()
+
+    # ---- spec_cross ------------------------------------------------------
+    def spec_cross(self, fh, gh):
+        """Physical-grid mean of ``f * g`` from their transforms (Parseval):
+        ``mean(f*g) = Σ w Re(conj(fh) gh) / M²`` with the same
+        Hermitian-degeneracy weights as :meth:`spec_var`. Unlike
+        ``spec_var`` this is a *mean of a product*, so the (0,0) mode is
+        kept. Exact (to rounding) for half-spectrum transforms; for the
+        full spectrum it matches ``mean(real(ifft(fh)) * real(ifft(gh)))``
+        exactly when at least one operand is Hermitian."""
+        d = (fh.re * gh.re + fh.im * gh.im) / float(self.M) ** 2
+        if self.spectrum == "half":
+            d = 2.0 * d
+            d = d.at[:, 0].mul(0.5)
+            d = d.at[:, self.nx // 2].mul(0.5)
+        return d.sum()

@@ -57,6 +57,12 @@ class QGParams:
     dealias: bool = False
     tdiags: int = 10
     tsave_snapshots: int = 10
+    # evaluate the quadratic budget means (ep_psi, ep_c, chi_c, Gamma_c)
+    # spectrally via Parseval (``Grid.spec_cross``/``spec_var``): exact
+    # re-associations of the physical-space means of ``QGModel.py:588-604``
+    # that need ZERO transforms, vs 2 inverse transforms per stage for
+    # ep_psi plus 3 inverse + 2 forward per stage for the scalar budget.
+    spectral_budgets: bool = True
 
 
 class QGState(NamedTuple):
@@ -138,9 +144,31 @@ class QGKernel:
         p = self._bwd(ph)
         return ph, p
 
-    def ep_psi(self, q, p, qh: C, ph: C):
-        """``QGModel.py:588-593``."""
+    def _invert_stage(self, qh: C):
+        """Stage inversion: under ``spectral_budgets`` the physical ``p``
+        is not consumed by anything between stages (ep_psi is spectral),
+        so the inverse transform is skipped; the carried state's ``p`` is
+        still produced by the final :meth:`_invert`."""
+        if self.params.spectral_budgets:
+            return -(qh * self.grid.wv2i), None
+        return self._invert(qh)
+
+    def ep_psi(self, q, p, qh: C, ph: C, qh_q: Optional[C] = None):
+        """``QGModel.py:588-593``. The reference evaluates stages 1–3 with
+        the STALE physical ``q`` from the step start and a fresh ``p`` —
+        under ``spectral_budgets`` the stale pairing uses ``qh_q`` (the
+        transform corresponding to ``q``) while the dissipation terms pair
+        the fresh ``qh``/``ph``."""
         g, pr = self.grid, self.params
+        if self.params.spectral_budgets:
+            if qh_q is None:
+                qh_q = qh
+            # nu4 mean(q lap²ψ) + mu mean(p q): (qh_q, ph) pairings;
+            # −nu mean(p lap q) = +nu Σ w wv2 Re(conj(qh) ph)/M²
+            s = g.spec_cross(qh_q, ph * (pr.nu4 * g.wv4 + pr.mu))
+            if pr.nu:
+                s = s + pr.nu * g.spec_cross(qh, ph * g.wv2)
+            return s
         lap2psi = self._bwd(ph * g.wv4)
         lapq = self._bwd(-(qh * g.wv2))
         return (
@@ -149,29 +177,63 @@ class QGKernel:
             + pr.mu * (p * q).mean()
         )
 
-    def _scalar_derived(self, ch: C, u, v):
-        """C2, gradC2, lapc, Gamma_c (``QGModel.py:724-737``)."""
+    def ep_c_stage(self, ch: C):
+        """Per-stage tracer-variance source (the only scalar-budget piece
+        the step integrates, ``QGModel.py:345-394``): transform-free under
+        ``spectral_budgets`` — all three terms are quadratic means."""
+        if not self.params.spectral_budgets:
+            C2, gradC2, lapc, _ = self._scalar_derived(ch, None, None, None)
+            return self.ep_c(C2, gradC2, lapc)
+        g, pr = self.grid, self.params
+        C2 = self.spec_var(ch)
+        gradC2 = self.spec_var(ch * g.wv)
+        lapc2 = self.spec_var(ch * g.wv2)   # mean(lapc²): lapc is zero-mean
+        return -2.0 * pr.nu4c * lapc2 - 2.0 * pr.nu * gradC2 \
+            - 2.0 * pr.muc * C2
+
+    def _scalar_derived(self, ch: C, u, v, c=None):
+        """C2, gradC2, lapc (or its variance), Gamma_c
+        (``QGModel.py:724-737``). Under ``spectral_budgets`` the third
+        return is ``mean(lapc²)`` (what every consumer reduces ``lapc``
+        to) and Gamma_c pairs the Jacobian transform with ``-wv2*ch``;
+        ``c`` is then the carried physical field (no inverse transform)."""
         g = self.grid
         C2 = self.spec_var(ch)
         gradC2 = self.spec_var(ch * g.wv)
+        if self.params.spectral_budgets:
+            lapc2 = self.spec_var(ch * g.wv2)
+            if u is None:
+                return C2, gradC2, lapc2, None
+            jac_c = self._jacobian_hat(u, v, c)
+            Gamma_c = 2.0 * g.spec_cross(-(ch * g.wv2), jac_c)
+            return C2, gradC2, lapc2, Gamma_c
         lapc = self._bwd(-(ch * g.wv2))
-        c = self._bwd(ch)
+        if u is None:
+            return C2, gradC2, lapc, None
+        c = self._bwd(ch) if c is None else c
         jac_c = self._jacobian_hat(u, v, c)
         Gamma_c = 2.0 * (lapc * self._bwd(jac_c)).mean()
         return C2, gradC2, lapc, Gamma_c
 
     def ep_c(self, C2, gradC2, lapc):
-        """``QGModel.py:595-598`` (middle term uses ``nu``, not ``nuc``)."""
+        """``QGModel.py:595-598`` (middle term uses ``nu``, not ``nuc``).
+        ``lapc`` is the physical field (physical mode) or ``mean(lapc²)``
+        (spectral mode)."""
         pr = self.params
-        return (
-            -2.0 * pr.nu4c * (lapc**2).mean()
-            - 2.0 * pr.nu * gradC2
+        lapc2 = lapc if jnp.ndim(lapc) == 0 else (lapc**2).mean()
+        return -2.0 * pr.nu4c * lapc2 - 2.0 * pr.nu * gradC2 \
             - 2.0 * pr.muc * C2
-        )
 
     def chi_c(self, ch: C, gradC2, lapc):
         """``QGModel.py:600-604``."""
         g, pr = self.grid, self.params
+        if self.params.spectral_budgets:
+            # mean(lap²c lapc) = −Σ w wv2 wv4 |ch|²/M²; mean(lapc²) passed
+            # through (or recomputed) as a spectral moment
+            lapc2 = lapc if jnp.ndim(lapc) == 0 else self.spec_var(ch * g.wv2)
+            cross = -g.spec_cross(ch * g.wv4, ch * g.wv2)
+            return (2.0 * pr.nu4c * cross - 2.0 * pr.nu * lapc2
+                    - 2.0 * pr.muc * gradC2)
         lap2c = self._bwd(ch * g.wv4)
         return (
             2.0 * pr.nu4c * (lap2c * lapc).mean()
@@ -210,12 +272,11 @@ class QGKernel:
             Fn0c = -self._jacobian_hat(u, v, c)
             ch = (cc.expch_h * ch0 + Fn0c * cc.Qh) * flt
             ch1 = ch
-            C2, gradC2, lapc, _ = self._scalar_derived(ch, u, v)
-            c1 = self.ep_c(C2, gradC2, lapc)
+            c1 = self.ep_c_stage(ch)
         else:
             ch = ch0
-        ph, p = self._invert(qh)
-        k1 = self.ep_psi(s.q, p, qh, ph)
+        ph, p = self._invert_stage(qh)
+        k1 = self.ep_psi(s.q, p, qh, ph, qh_q=s.qh)
 
         # stage 2
         jac, u, v = q_jac(ph, qh)
@@ -225,10 +286,9 @@ class QGKernel:
             cphys = self._bwd(ch)
             Fnac = -self._jacobian_hat(u, v, cphys)
             ch = (cc.expch_h * ch0 + Fnac * cc.Qh) * flt
-            C2, gradC2, lapc, _ = self._scalar_derived(ch, u, v)
-            c2 = self.ep_c(C2, gradC2, lapc)
-        ph, p = self._invert(qh)
-        k2 = self.ep_psi(s.q, p, qh, ph)
+            c2 = self.ep_c_stage(ch)
+        ph, p = self._invert_stage(qh)
+        k2 = self.ep_psi(s.q, p, qh, ph, qh_q=s.qh)
 
         # stage 3
         jac, u, v = q_jac(ph, qh)
@@ -238,10 +298,9 @@ class QGKernel:
             cphys = self._bwd(ch)
             Fnbc = -self._jacobian_hat(u, v, cphys)
             ch = (cc.expch_h * ch1 + (2.0 * Fnbc - Fn0c) * cc.Qh) * flt
-            C2, gradC2, lapc, _ = self._scalar_derived(ch, u, v)
-            c3 = self.ep_c(C2, gradC2, lapc)
-        ph, p = self._invert(qh)
-        k3 = self.ep_psi(s.q, p, qh, ph)
+            c3 = self.ep_c_stage(ch)
+        ph, p = self._invert_stage(qh)
+        k3 = self.ep_psi(s.q, p, qh, ph, qh_q=s.qh)
 
         # stage 4 + final combination
         jac, u, v = q_jac(ph, qh)
@@ -254,8 +313,7 @@ class QGKernel:
             Fncc = -self._jacobian_hat(u, v, cphys)
             ch = (cc.expch * ch0 + Fn0c * cc.f0 + 2.0 * (Fnac + Fnbc) * cc.fab
                   + Fncc * cc.fc) * flt
-            C2, gradC2, lapc, _ = self._scalar_derived(ch, u, v)
-            c4 = self.ep_c(C2, gradC2, lapc)
+            c4 = self.ep_c_stage(ch)
             cvar = s.cvar + dt * (c1 + 2.0 * (c2 + c3) + c4) / 6.0
 
         ph, p = self._invert(qh)

@@ -136,3 +136,35 @@ def test_spectral_budget_sources_match_physical(model_mod):
         # compare with a small absolute floor relative to the k source
         floor = 1e-12 * abs(ph.k) + 1e-300
         assert abs(a - b) < 1e-12 * abs(b) + floor, (name, a, b)
+
+
+def test_qg_spectral_budgets_match_physical():
+    """QGModel with ``spectral_budgets=True`` (default; transform-free
+    ep_psi/ep_c and spectral diagnostic moments) must track the
+    physical-space evaluation of ``QGModel.py:588-604`` — trajectory,
+    integrated budgets and every scalar series — to near machine
+    precision. All dissipation knobs nonzero."""
+    from niwqg_tpu import QGModel
+
+    def run(spec):
+        m = QGModel.Model(nx=64, tdiags=1, tmax=8 * 10000.0, dt=10000.0,
+                          U=0.05, beta=1e-11, nu4=5e9, nu=20.0, mu=1e-8,
+                          passive_scalar=True, nu4c=5e9, nuc=10.0, muc=1e-8,
+                          spectral_budgets=spec)
+        k0 = 10 * (2 * np.pi / m.L)
+        q = ic.LambDipole(m, U=0.05, R=2 * np.pi / k0)
+        m.set_q(q)
+        m.set_c(np.asarray(q, dtype=float).copy())
+        m.run()
+        return m
+
+    a, b = run(True), run(False)
+    qs = np.abs(b.q).max()
+    assert np.abs(a.q - b.q).max() < 1e-12 * qs
+    assert abs(a.Ke - b.Ke) < 1e-12 * abs(b.Ke)
+    assert abs(a.cvar - b.cvar) < 1e-12 * abs(b.cvar)
+    for name in ("ep_psi", "C2", "gradC2", "Gamma_c", "ep_c", "chi_c"):
+        va = np.asarray(a.diagnostics[name]["value"], dtype=float)
+        vb = np.asarray(b.diagnostics[name]["value"], dtype=float)
+        sc = np.abs(vb).max() + 1e-300
+        assert np.abs(va - vb).max() / sc < 1e-11, name
