@@ -532,6 +532,10 @@ class _WaveModel(_ModelBase):
 
     @property
     def p(self):
+        if self.state.d.p is None:
+            # spectral-budget states don't carry the physical
+            # streamfunction; reconstruct from ph on access
+            return np.asarray(self.kernel.tr.ifft2_real(self.state.d.ph))
         return np.asarray(self.state.d.p)
 
     @property

@@ -113,6 +113,8 @@ class Saver:
 # checkpoint / restore (new capability; SURVEY.md §5 resume gap)
 # ----------------------------------------------------------------------
 def _write_tree(h5group, name: str, value):
+    if value is None:  # optional state slot (e.g. Derived.p, spectral mode)
+        return
     if isinstance(value, C):
         h5group.create_dataset(
             name, data=np.stack([np.asarray(value.re), np.asarray(value.im)])
@@ -174,12 +176,24 @@ def load_checkpoint(path: str, model):
             if isinstance(node, h5py.Group):
                 sub_cls = type(getattr(model.state, name))
                 sub_kwargs = {
-                    n2: _read_value(node[n2], dtype) for n2 in sub_cls._fields
+                    n2: (_read_value(node[n2], dtype) if n2 in node else None)
+                    for n2 in sub_cls._fields
                 }
                 kwargs[name] = sub_cls(**sub_kwargs)
             else:
                 kwargs[name] = _read_value(node, dtype)
-        model.state = state_cls(**kwargs)
+        state = state_cls(**kwargs)
+        # normalize the optional Derived.p slot to the loading kernel's
+        # convention (a checkpoint may come from the other budget mode;
+        # scan carries require a consistent pytree structure)
+        if hasattr(state, "d"):
+            drop_p = getattr(model.kernel, "_drop_p", False)
+            if drop_p and state.d.p is not None:
+                state = state._replace(d=state.d._replace(p=None))
+            elif not drop_p and state.d.p is None:
+                p = model.kernel.tr.ifft2_real(state.d.ph)
+                state = state._replace(d=state.d._replace(p=p))
+        model.state = state
         if "diagnostics" in f:
             for name in f["diagnostics"]:
                 if name in model._diag_acc.series:

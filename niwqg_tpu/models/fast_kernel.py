@@ -68,6 +68,12 @@ class FastWaveKernel(WaveKernel):
         self._w_eppsi = jnp.asarray(w_eppsi.astype(self.dtype))
 
     @property
+    def _drop_p(self) -> bool:
+        # the physical streamfunction is consumed only by the
+        # physical-space budget sources; the spectral path never needs it
+        return self._spectral_src
+
+    @property
     def _spectral_src(self) -> bool:
         # bug-for-bug stale-gradient mode must keep the physical-space
         # evaluation: spectrally, the gradient-dependent quadratics
@@ -102,10 +108,21 @@ class FastWaveKernel(WaveKernel):
             # = Hermitian projection; QL keeps ph unprojected
             # (``QLModel.py:86``)
             ph = spectral.hermitian_project(ph)
-        qpsi_h = (qh - qwh) if self.physics.subtracts_wave_pv else qh
-        gb = tr.ifft2_real(stack([ph, mul_i(ph, -g.l), mul_i(ph, g.k), qh,
-                                  qpsi_h]))
-        p_, u, v, q, q_psi = (gb[i] for i in range(5))
+        # batch only the fields a stage actually consumes: the physical
+        # streamfunction feeds nothing but the physical-space budget
+        # sources (spectral mode carries p=None; the api recomputes it on
+        # access), and q_psi is an alias of q unless the physics subtracts
+        # the wave PV (``niwqg/Kernel.py:492-501``)
+        specs = [mul_i(ph, -g.l), mul_i(ph, g.k), qh]
+        if not self._drop_p:
+            specs.insert(0, ph)
+        if self.physics.subtracts_wave_pv:
+            specs.append(qh - qwh)
+        gb = tr.ifft2_real(stack(specs))
+        i = 0 if self._drop_p else 1
+        p_ = None if self._drop_p else gb[0]
+        u, v, q = gb[i], gb[i + 1], gb[i + 2]
+        q_psi = gb[i + 3] if self.physics.subtracts_wave_pv else q
         return Derived(ph=ph, p=p_, q=q, q_psi=q_psi, qwh=qwh, phi=phi,
                        phix=phix, phiy=phiy, u=u, v=v)
 
@@ -251,6 +268,8 @@ class FastWaveKernel(WaveKernel):
         """Physical-space sources with batched transforms (used when
         ``spectral_budgets=False`` or in the stale-gradient quirks mode)."""
         g, tr = self.grid, self.tr
+        if D.p is None:  # spectral-mode state driven through the physical path
+            D = D._replace(p=tr.ifft2_real(D.ph))
         batch = tr.ifft2(stack([
             phih * (-g.wv2),                 # lapphi
             phih * g.wv4,                    # lap2phi

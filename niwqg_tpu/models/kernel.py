@@ -210,6 +210,13 @@ class WaveKernel:
     def _s(self, x) -> jnp.ndarray:
         return jnp.asarray(x, dtype=self.dtype)
 
+    @property
+    def _drop_p(self) -> bool:
+        """Whether the carried state omits the physical streamfunction
+        (the fast kernel's spectral-budget mode; None is a valid pytree
+        leaf-slot so scan carries stay consistent)."""
+        return False
+
     # ------------------------------------------------------------------
     # derived-state computation (invert + rel. vorticity + velocities)
     # ------------------------------------------------------------------
@@ -378,8 +385,8 @@ class WaveKernel:
         shape = (self.grid.nl, self.grid.nk)
         z = C.zeros(shape, self.dtype)
         r = jnp.zeros(shape, self.dtype)
-        D = Derived(ph=z, p=r, q=r, q_psi=r, qwh=z, phi=z, phix=z, phiy=z,
-                    u=r, v=r)
+        D = Derived(ph=z, p=None if self._drop_p else r, q=r, q_psi=r,
+                    qwh=z, phi=z, phix=z, phiy=z, u=r, v=r)
         zero = self._s(0.0)
         return WaveState(t=zero, tc=jnp.asarray(0, jnp.int32), qh=z, phih=z,
                          d=D, Ke=zero, Pw=zero, Kw=zero)
@@ -393,6 +400,8 @@ class WaveKernel:
         u, v = spectral.velocities(self.tr, self.grid, D.ph)
         # preserve the phi-gradients currently carried (set_phi provides them)
         D = D._replace(u=u, v=v, phix=s.d.phix, phiy=s.d.phiy, phi=s.d.phi)
+        if self._drop_p:
+            D = D._replace(p=None)
         Ke = self.ke_qg(D.ph)
         return s._replace(qh=qh, d=D, Ke=Ke)
 

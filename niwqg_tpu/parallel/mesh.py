@@ -64,7 +64,8 @@ def shard_wave_state(state, mesh: Mesh):
         ph=put_c(state.d.ph, ss), qwh=put_c(state.d.qwh, ss),
         phi=put_c(state.d.phi, ps), phix=put_c(state.d.phix, ps),
         phiy=put_c(state.d.phiy, ps),
-        p=_put(state.d.p, ps), q=_put(state.d.q, ps),
+        p=None if state.d.p is None else _put(state.d.p, ps),
+        q=_put(state.d.q, ps),
         q_psi=_put(state.d.q_psi, ps), u=_put(state.d.u, ps),
         v=_put(state.d.v, ps),
     )
