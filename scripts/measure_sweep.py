@@ -26,7 +26,7 @@ BASELINE_PTS = 20.0 * 128 * 128
 
 
 def _build(nx: int, budgets: bool, pre: bool, form: str = "dotgen",
-           n1: int = 0, model: str = "coupled"):
+           n1: int = 0, model: str = "coupled", sb: bool = True):
     from niwqg_tpu import CoupledModel, QGModel, YBJModel
     from niwqg_tpu import InitialConditions as ic
 
@@ -39,7 +39,8 @@ def _build(nx: int, budgets: bool, pre: bool, form: str = "dotgen",
     if model == "qg":
         m = QGModel.Model(L=L, nx=nx, dt=157.0, tmax=157.0 * 100,
                           beta=1e-11, nu4=7.5e9, use_filter=True,
-                          passive_scalar=True, transform_opts=topts)
+                          passive_scalar=True, transform_opts=topts,
+                          spectral_budgets=sb)
         q = ic.LambDipole(m, U=U0, R=2 * np.pi / k0)
         m.set_q(q)
         m.set_c(np.asarray(q, dtype=np.float32).copy())
@@ -53,7 +54,7 @@ def _build(nx: int, budgets: bool, pre: bool, form: str = "dotgen",
             L=L, nx=nx, dt=157.0, tmax=157.0 * 100,
             m=1.0 / 325, N=0.005, f=1e-4, use_filter=True,
             nu4=7.5e9, nu4w=7.5e9, compute_budgets=budgets,
-            transform_opts=topts,
+            transform_opts=topts, spectral_budgets=sb,
         )
     if not pre:
         # must flip before set_q so the state pytree is built without the
@@ -67,8 +68,9 @@ def _build(nx: int, budgets: bool, pre: bool, form: str = "dotgen",
 
 
 def measure(nx: int, budgets: bool, nsteps: int, pre: bool = True,
-            form: str = "dotgen", n1: int = 0, model: str = "coupled"):
-    m = _build(nx, budgets, pre, form, n1, model)
+            form: str = "dotgen", n1: int = 0, model: str = "coupled",
+            sb: bool = True):
+    m = _build(nx, budgets, pre, form, n1, model, sb)
     run = m._chunk(nsteps)
 
     def ke_of(state):
@@ -89,7 +91,7 @@ def measure(nx: int, budgets: bool, nsteps: int, pre: bool = True,
     sps = nsteps / dt
     pts = sps * nx * nx
     print(f"RESULT model={model} nx={nx} budgets={int(budgets)} "
-          f"pre={int(pre)} form={form} n1={n1} steps/s={sps:.2f} "
+          f"sb={int(sb)} form={form} n1={n1} steps/s={sps:.2f} "
           f"pts/s={pts:.3e} vs_baseline={pts / BASELINE_PTS:.1f} "
           f"compile_s={compile_s:.0f} Ke={ke:.6e}", flush=True)
 
@@ -102,6 +104,7 @@ def main():
         budgets = True
         nsteps = 10
         pre = True
+        sb = True
         form = "dotgen"
         n1 = 0
         model = "coupled"
@@ -113,6 +116,8 @@ def main():
                 nsteps = int(v)
             elif k == "pre":
                 pre = v != "0"
+            elif k == "sb":
+                sb = v != "0"
             elif k == "form":
                 form = v
             elif k == "n1":
@@ -121,7 +126,7 @@ def main():
                 model = v
         t0 = time.time()
         try:
-            measure(nx, budgets, nsteps, pre, form, n1, model)
+            measure(nx, budgets, nsteps, pre, form, n1, model, sb)
         except Exception as e:  # keep the sweep going
             print(f"RESULT nx={nx} budgets={int(budgets)} FAILED after "
                   f"{time.time() - t0:.0f}s: {e!r}", flush=True)

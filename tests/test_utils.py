@@ -41,3 +41,35 @@ def test_strain_and_okubo_weiss():
     ow = np.asarray(K.okubo_weiss(s))
     # for psi = A cos(kx): strain = (psi_xx)^2 = q_psi^2 -> OW == 0
     assert np.abs(ow).max() < 1e-12 * (strain.max() ** 1) + 1e-30
+
+
+def test_spec_cross_equals_physical_mean():
+    """Grid.spec_cross must equal the physical-grid mean of the product of
+    the two real fields, in both spectral layouts (the Parseval identity
+    the spectral budget evaluation rests on), including fields with
+    nonzero means (the (0,0) mode is kept, unlike spec_var)."""
+    import jax.numpy as jnp
+    import numpy as np
+    from niwqg_tpu.carray import C
+    from niwqg_tpu.grid import Grid
+
+    def cj(zh):
+        return C(jnp.asarray(zh.real), jnp.asarray(zh.imag))
+
+    rng = np.random.default_rng(42)
+    nx = 32
+    f = rng.standard_normal((nx, nx)) + 0.7   # nonzero mean
+    g = rng.standard_normal((nx, nx)) - 1.3
+    want = float((f * g).mean())
+
+    half = Grid(nx=nx, L=1.0, dtype=np.float64, spectrum="half").materialize()
+    fh = np.fft.rfft2(f)
+    gh = np.fft.rfft2(g)
+    got = float(half.spec_cross(cj(fh), cj(gh)))
+    assert abs(got - want) < 1e-14 * abs(want)
+
+    full = Grid(nx=nx, L=1.0, dtype=np.float64, spectrum="full").materialize()
+    fh2 = np.fft.fft2(f)
+    gh2 = np.fft.fft2(g)
+    got2 = float(full.spec_cross(cj(fh2), cj(gh2)))
+    assert abs(got2 - want) < 1e-14 * abs(want)
