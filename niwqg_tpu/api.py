@@ -50,20 +50,26 @@ def _make_logger(name: str, loglevel: int = 10) -> logging.Logger:
     return logger
 
 
-def _make_sharded_transform(nx, dtype, mesh, backend, precision):
+def _make_sharded_transform(nx, dtype, mesh, backend, precision, opts=None):
     """Distributed transform for a device mesh.
 
     CPU/GPU meshes get the shard_map pencil FFT; TPU-like backends get the
     MXU matmul-DFT, whose einsums GSPMD partitions into tensor-parallel
-    matmuls with the right collectives.
+    matmuls with the right collectives. ``opts`` is the model's
+    ``transform_opts`` dict: pencil meshes honor ``overlap_chunks``
+    (pipelined transpose, see ``parallel/pfft.py``); MXU meshes forward
+    everything to :class:`MXUTransform`.
     """
+    opts = dict(opts or {})
     plat = jax.default_backend()
     if backend == "mxu" or (backend == "auto" and plat not in ("cpu", "gpu",
                                                                "cuda", "rocm")):
-        return MXUTransform(nx, dtype, precision=precision)
+        opts.pop("overlap_chunks", None)
+        return MXUTransform(nx, dtype, precision=precision, **opts)
     from .parallel.pfft import PencilTransform
 
-    return PencilTransform(nx, dtype, mesh)
+    return PencilTransform(nx, dtype, mesh,
+                           overlap_chunks=opts.pop("overlap_chunks", 1))
 
 
 class _ModelBase:
@@ -496,7 +502,8 @@ class _WaveModel(_ModelBase):
         self._mesh = mesh
         if mesh is not None:
             kernel_kwargs["transform"] = _make_sharded_transform(
-                nx, dtype, mesh, backend, precision
+                nx, dtype, mesh, backend, precision,
+                opts=kernel_kwargs.pop("transform_opts", None),
             )
         self.kernel = self._make_kernel(dtype, backend, precision,
                                         **kernel_kwargs)
@@ -706,7 +713,9 @@ class QGModel(_ModelBase):
             # distributed transforms keep the reference's half-spectrum
             # layout (pencil rfft pads columns to a mesh-divisible count)
             kw["transform"] = _make_sharded_transform(nx, dtype, mesh,
-                                                      backend, precision)
+                                                      backend, precision,
+                                                      opts=kw.pop(
+                                                          "transform_opts"))
         self.kernel = QGKernel(self.params, dtype=dtype, backend=backend,
                                precision=precision, **kw)
         self.state = self._shard(self.kernel.zero_state())

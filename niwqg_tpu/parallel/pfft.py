@@ -24,6 +24,22 @@ kernels are oblivious to distribution. This provider requires a complex-
 capable backend (CPU/GPU meshes); on TPU meshes use ``MXUTransform`` whose
 dense-DFT einsums are partitioned by GSPMD directly (tensor-parallel
 matmuls), no shard_map needed.
+
+Transpose/compute overlap (``overlap_chunks > 1``): the all_to_all is the
+serial ICI bottleneck of the pencil scheme — unchunked, every device idles
+while the full ``(ny/P, nx)`` block crosses the interconnect. Chunking
+splits each device's *output* column block into ``c`` independent
+column-pencil chunks, so the chain per chunk is
+``select columns -> all_to_all -> y-FFT`` with no cross-chunk data
+dependency; XLA's latency-hiding scheduler can then run chunk ``i``'s
+collective concurrently with chunk ``i-1``'s FFT compute (the standard
+pipelined-transpose FFT, cf. the overlap recipe in the scaling book's
+collective chapter). The chunked path reproduces the EXACT unchunked
+column layout — chunk ``i`` carries columns ``[i*W/c, (i+1)*W/c)`` of every
+device's final ``W = nx/P``-column block — so wavenumber tables and
+spectral algebra are oblivious to it. Correctness is asserted on the
+virtual mesh (``tests/test_sharding.py``); the overlap win itself needs
+real ICI hardware to measure.
 """
 
 from __future__ import annotations
@@ -41,10 +57,25 @@ from ..carray import C
 from .mesh import AXIS
 
 
-class PencilTransform:
-    """Distributed transforms on a 1-D device mesh (complex backend)."""
+def _clamp_chunks(width: int, c: int) -> int:
+    """Largest divisor of ``width`` that is <= the requested chunk count."""
+    c = max(1, min(int(c), width))
+    while width % c:
+        c -= 1
+    return c
 
-    def __init__(self, nx: int, dtype, mesh: Mesh, axis: str = AXIS):
+
+class PencilTransform:
+    """Distributed transforms on a 1-D device mesh (complex backend).
+
+    ``overlap_chunks``: split the transpose into this many independent
+    column-pencil chunks so the all_to_all of one chunk can overlap the
+    1-D FFT compute of another (see module docstring). 1 = monolithic
+    transpose; clamped to a divisor of the per-device column width.
+    """
+
+    def __init__(self, nx: int, dtype, mesh: Mesh, axis: str = AXIS,
+                 overlap_chunks: int = 1):
         self.nx = nx
         self.dtype = np.dtype(dtype)
         self.nk_half = nx // 2 + 1
@@ -56,37 +87,77 @@ class PencilTransform:
         )
         self._cplx = np.complex128 if self.dtype == np.float64 else np.complex64
 
-        phys = P(axis, None)
-        spec = P(None, axis)
-
         ax = axis
+        nP = self.nP
+        W = nx // nP  # final per-device spectral column width
+        c = self.overlap_chunks = _clamp_chunks(W, overlap_chunks)
+
+        def _fwd_transpose_yfft(z, width, chunks):
+            """(rows/P, P*width) row-block -> (rows, width) column pencil:
+            chunked all_to_all + y-FFT with the exact monolithic layout.
+
+            Chunk i sends columns ``s*width + [i*w, (i+1)*w)`` of every
+            destination block s, so after the split/concat each device
+            holds columns ``[i*w, (i+1)*w)`` of its own final block and a
+            plain concatenate restores column order."""
+            if chunks == 1:
+                z = lax.all_to_all(z, ax, split_axis=z.ndim - 1,
+                                   concat_axis=z.ndim - 2, tiled=True)
+                return jnp.fft.fft(z, axis=-2)
+            lead = z.shape[:-1]
+            w = width // chunks
+            zr = z.reshape(lead + (nP, width))
+            outs = []
+            for i in range(chunks):
+                piece = zr[..., :, i * w:(i + 1) * w]
+                piece = piece.reshape(lead + (nP * w,))
+                piece = lax.all_to_all(piece, ax, split_axis=piece.ndim - 1,
+                                       concat_axis=piece.ndim - 2, tiled=True)
+                outs.append(jnp.fft.fft(piece, axis=-2))
+            return jnp.concatenate(outs, axis=-1)
+
+        def _iffty_transpose(z, width, chunks):
+            """Inverse of :func:`_fwd_transpose_yfft` up to the final
+            x-pass: (rows, width) column pencil -> y-iFFT -> chunked
+            all_to_all -> (rows/P, P*width) row block, monolithic layout."""
+            if chunks == 1:
+                z = jnp.fft.ifft(z, axis=-2)
+                return lax.all_to_all(z, ax, split_axis=z.ndim - 2,
+                                      concat_axis=z.ndim - 1, tiled=True)
+            lead = z.shape[:-2]
+            rows = z.shape[-2]
+            w = width // chunks
+            outs = []
+            for i in range(chunks):
+                piece = jnp.fft.ifft(z[..., :, i * w:(i + 1) * w], axis=-2)
+                piece = lax.all_to_all(piece, ax, split_axis=piece.ndim - 2,
+                                       concat_axis=piece.ndim - 1, tiled=True)
+                outs.append(piece.reshape(lead + (rows // nP, nP, w)))
+            out = jnp.concatenate(outs, axis=-1)
+            return out.reshape(lead + (rows // nP, nP * width))
+
+        self._fwd_transpose_yfft = _fwd_transpose_yfft
+        self._iffty_transpose = _iffty_transpose
 
         def fwd_local(zre, zim):
             z = lax.complex(zre, zim)
             z = jnp.fft.fft(z, axis=-1)
-            z = lax.all_to_all(z, ax, split_axis=z.ndim - 1,
-                               concat_axis=z.ndim - 2, tiled=True)
-            z = jnp.fft.fft(z, axis=-2)
+            z = _fwd_transpose_yfft(z, W, c)
             return jnp.real(z), jnp.imag(z)
 
         def inv_local(zre, zim):
             z = lax.complex(zre, zim)
-            z = jnp.fft.ifft(z, axis=-2)
-            z = lax.all_to_all(z, ax, split_axis=z.ndim - 2,
-                               concat_axis=z.ndim - 1, tiled=True)
+            z = _iffty_transpose(z, W, c)
             z = jnp.fft.ifft(z, axis=-1)
             return jnp.real(z), jnp.imag(z)
 
-        # leading batch axes are unsharded
-        def specs(base):
-            return base
-
-        self._fwd = jax.shard_map(
-            fwd_local, mesh=mesh, in_specs=(phys, phys), out_specs=(spec, spec)
-        )
-        self._inv = jax.shard_map(
-            inv_local, mesh=mesh, in_specs=(spec, spec), out_specs=(phys, phys)
-        )
+        # shard_maps are built per input rank (leading batch axes are
+        # unsharded: a rank-r spec pins the mesh axis to dim -2 ('phys',
+        # rows) or -1 ('spec', columns) and fills the rest with None)
+        self._local = {}
+        self._smap_cache = {}
+        self._local["fwd"] = (fwd_local, ("phys", "phys"), ("spec", "spec"))
+        self._local["inv"] = (inv_local, ("spec", "spec"), ("phys", "phys"))
 
         # -- half-spectrum (rfft) pencil -------------------------------
         # nk = nx//2+1 is never divisible by the mesh size, so the spectral
@@ -96,37 +167,52 @@ class PencilTransform:
         nk = self.nk_half
         self.rfft_pad = (-nk) % self.nP
         nk_pad = nk + self.rfft_pad
+        Wr = nk_pad // nP
+        cr = _clamp_chunks(Wr, overlap_chunks)
 
         def rfwd_local(x):
             z = jnp.fft.rfft(x.astype(self.dtype), axis=-1)
             padw = [(0, 0)] * (z.ndim - 1) + [(0, nk_pad - nk)]
             z = jnp.pad(z, padw)
-            z = lax.all_to_all(z, ax, split_axis=z.ndim - 1,
-                               concat_axis=z.ndim - 2, tiled=True)
-            z = jnp.fft.fft(z, axis=-2)
+            z = _fwd_transpose_yfft(z, Wr, cr)
             return jnp.real(z), jnp.imag(z)
 
         def rinv_local(zre, zim):
             z = lax.complex(zre, zim)
-            z = jnp.fft.ifft(z, axis=-2)
-            z = lax.all_to_all(z, ax, split_axis=z.ndim - 2,
-                               concat_axis=z.ndim - 1, tiled=True)
-            return jnp.fft.irfft(z[..., :nk], n=nx, axis=-1)
+            z = _iffty_transpose(z, Wr, cr)
+            return (jnp.fft.irfft(z[..., :nk], n=nx, axis=-1),)
 
-        self._rfwd = jax.shard_map(
-            rfwd_local, mesh=mesh, in_specs=(phys,), out_specs=(spec, spec)
-        )
-        self._rinv = jax.shard_map(
-            rinv_local, mesh=mesh, in_specs=(spec, spec), out_specs=phys
-        )
+        self._local["rfwd"] = (rfwd_local, ("phys",), ("spec", "spec"))
+        self._local["rinv"] = (rinv_local, ("spec", "spec"), ("phys",))
+
+    def _smap(self, name: str, rank: int):
+        """shard_map of local fn ``name`` specialized to input rank."""
+        key = (name, rank)
+        fn = self._smap_cache.get(key)
+        if fn is None:
+            local, in_kinds, out_kinds = self._local[name]
+
+            def spec(kind):
+                at = rank - 2 if kind == "phys" else rank - 1
+                dims = [None] * rank
+                dims[at] = self.axis
+                return P(*dims)
+
+            fn = jax.shard_map(
+                local, mesh=self.mesh,
+                in_specs=tuple(spec(k) for k in in_kinds),
+                out_specs=tuple(spec(k) for k in out_kinds),
+            )
+            self._smap_cache[key] = fn
+        return fn
 
     # -- provider API ------------------------------------------------------
     def fft2(self, z: C) -> C:
-        re, im = self._fwd(z.re, z.im)
+        re, im = self._smap("fwd", z.re.ndim)(z.re, z.im)
         return C(re, im)
 
     def ifft2(self, zh: C) -> C:
-        re, im = self._inv(zh.re, zh.im)
+        re, im = self._smap("inv", zh.re.ndim)(zh.re, zh.im)
         return C(re, im)
 
     def fft2_real(self, x) -> C:
@@ -139,8 +225,9 @@ class PencilTransform:
         """Half-spectrum forward, output ``(ny, nk + rfft_pad)``
         column-sharded (the reference QGModel's native rfft layout,
         ``niwqg/QGModel.py:551-552``, pencil-distributed)."""
-        re, im = self._rfwd(x)
+        re, im = self._smap("rfwd", x.ndim)(x)
         return C(re, im)
 
     def irfft2(self, zh: C):
-        return self._rinv(zh.re, zh.im)
+        (out,) = self._smap("rinv", zh.re.ndim)(zh.re, zh.im)
+        return out

@@ -53,10 +53,52 @@ def test_pencil_rfft_matches_rfft2(mesh, rng):
     assert np.abs(back - x).max() < 1e-13
 
 
-def _coupled(mesh=None, nsteps=5):
+@pytest.mark.parametrize("chunks", [2, 4])
+def test_pencil_overlap_chunks_exact_layout(mesh, rng, chunks):
+    """The pipelined (chunked) transpose reproduces the monolithic
+    all_to_all column layout bit-for-bit in structure (same global array,
+    ~1e-13 in value) for both the full- and half-spectrum paths, with and
+    without leading batch axes."""
+    nx = 64
+    tr0 = PencilTransform(nx, np.float64, mesh)
+    trc = PencilTransform(nx, np.float64, mesh, overlap_chunks=chunks)
+    assert trc.overlap_chunks == chunks
+    for shape in ((nx, nx), (3, nx, nx)):
+        z = rng.standard_normal(shape) + 1j * rng.standard_normal(shape)
+        a = tr0.fft2(C.from_complex(z)).to_complex()
+        b = trc.fft2(C.from_complex(z)).to_complex()
+        assert np.abs(a - b).max() / np.abs(a).max() < 1e-13, shape
+        back = trc.ifft2(trc.fft2(C.from_complex(z))).to_complex()
+        assert np.abs(back - z).max() < 1e-13, shape
+        x = z.real
+        ra = tr0.rfft2(x).to_complex()
+        rb = trc.rfft2(x).to_complex()
+        assert np.abs(ra - rb).max() / np.abs(ra).max() < 1e-13, shape
+        rback = np.asarray(trc.irfft2(trc.rfft2(x)))
+        assert np.abs(rback - x).max() < 1e-13, shape
+
+
+def test_pencil_overlap_clamps_to_divisor(mesh):
+    # per-device width W = 64/4 = 16; 5 does not divide it -> clamp to 4
+    tr = PencilTransform(64, np.float64, mesh, overlap_chunks=5)
+    assert tr.overlap_chunks == 4
+
+
+def test_coupled_sharded_overlap_equals_single(mesh):
+    """End-to-end: a coupled run on the overlapped pencil equals the
+    unsharded run (the option is user-reachable via transform_opts)."""
+    a = _coupled(mesh=None)
+    b = _coupled(mesh=mesh, transform_opts={"overlap_chunks": 2})
+    scale = np.abs(a.q).max()
+    assert np.abs(a.q - b.q).max() < 1e-13 * scale
+    assert np.abs(np.asarray(a.phi) - np.asarray(b.phi)).max() < 1e-13
+    assert abs(a.Ke - b.Ke) < 1e-12 * abs(a.Ke)
+
+
+def _coupled(mesh=None, nsteps=5, **kw):
     U0 = 0.05
     m = CoupledModel.Model(use_filter=False, U=-U0, tdiags=1,
-                           tmax=nsteps * 10000.0, mesh=mesh)
+                           tmax=nsteps * 10000.0, mesh=mesh, **kw)
     k0 = 10 * (2 * np.pi / m.L)
     q = ic.LambDipole(m, U=U0, R=2 * np.pi / k0)
     phi = (np.ones_like(q) + 1j) * 5 * U0 / np.sqrt(2)
