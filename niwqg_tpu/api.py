@@ -518,6 +518,11 @@ class _WaveModel(_ModelBase):
             from .models.fast_kernel import FastWaveKernel
 
             cls = FastWaveKernel
+            if self._mesh is not None:
+                # distributed states shard the spectral column axis; the
+                # half-spectrum width nx//2+1 is never mesh-divisible, so
+                # meshes keep the full-spectrum q side
+                kw.setdefault("q_half", False)
         return cls(self.params, self._physics_factory(),
                    dtype=dtype, backend=backend, precision=precision, **kw)
 
@@ -542,12 +547,21 @@ class _WaveModel(_ModelBase):
         if self.state.d.p is None:
             # spectral-budget states don't carry the physical
             # streamfunction; reconstruct from ph on access
-            return np.asarray(self.kernel.tr.ifft2_real(self.state.d.ph))
+            return np.asarray(self.kernel._inv_real(self.state.d.ph))
         return np.asarray(self.state.d.p)
+
+    def _q_side_full(self, zh):
+        """q-side spectra as the reference's full-spectrum layout (the
+        fast kernel's ``q_half`` mode stores the rfft half-spectrum)."""
+        if getattr(self.kernel, "q_half", False):
+            from .ops.spectral import expand_half_to_full
+
+            zh = expand_half_to_full(zh)
+        return zh.to_complex()
 
     @property
     def qh(self):
-        return self.state.qh.to_complex()
+        return self._q_side_full(self.state.qh)
 
     @property
     def phih(self):
@@ -555,7 +569,7 @@ class _WaveModel(_ModelBase):
 
     @property
     def ph(self):
-        return self.state.d.ph.to_complex()
+        return self._q_side_full(self.state.d.ph)
 
     @property
     def u(self):
@@ -571,7 +585,7 @@ class _WaveModel(_ModelBase):
 
     @property
     def qwh(self):
-        return self.state.d.qwh.to_complex()
+        return self._q_side_full(self.state.d.qwh)
 
     @property
     def Ke(self):

@@ -191,7 +191,7 @@ def load_checkpoint(path: str, model):
             if drop_p and state.d.p is not None:
                 state = state._replace(d=state.d._replace(p=None))
             elif not drop_p and state.d.p is None:
-                p = model.kernel.tr.ifft2_real(state.d.ph)
+                p = model.kernel._inv_real(state.d.ph)
                 state = state._replace(d=state.d._replace(p=p))
         model.state = state
         if "diagnostics" in f:

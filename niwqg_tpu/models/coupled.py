@@ -37,12 +37,18 @@ class CoupledPhysics(WavePhysics):
 
     # -- CoupledModel-only diagnostics (``CoupledModel.py:99-136``) -------
     def ke_qg_decomp(self, K: WaveKernel, qh: C, qwh: C):
-        g, tr = K.grid, K.tr
+        # q-side spectra: route through K.qtab/K._inv_real so the fast
+        # kernel's half-spectrum layout works unchanged
+        g = K.qtab
         phq = -(qh * g.wv2i)
         ke_qg_q = 0.5 * K.spec_var(phq * g.wv)
         phw = qwh * g.wv2i
         ke_qg_w = 0.5 * K.spec_var(phw * g.wv)
-        uq, vq = spectral.velocities(tr, g, phq)
-        uw, vw = spectral.velocities(tr, g, phw)
+        from ..carray import mul_i
+
+        uq = K._inv_real(mul_i(phq, -K._l_dy))
+        vq = K._inv_real(mul_i(phq, g.k))
+        uw = K._inv_real(mul_i(phw, -K._l_dy))
+        vw = K._inv_real(mul_i(phw, g.k))
         ke_qg_qw = (uq * uw).mean() + (vq * vw).mean()
         return ke_qg_q, ke_qg_w, ke_qg_qw

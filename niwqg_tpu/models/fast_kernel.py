@@ -38,16 +38,98 @@ from __future__ import annotations
 import jax.numpy as jnp
 import numpy as np
 
+from typing import NamedTuple
+
 from ..carray import C, jmul, mul_i, stack, unstack
+from ..etdrk4 import ETDRK4Coefs
 from ..ops import spectral
-from .kernel import Derived, KernelParams, StageSources, WaveKernel, WavePhysics
+from .kernel import (Derived, KernelParams, StageSources, WaveKernel,
+                     WavePhysics, WaveState)
+
+
+class _QTables(NamedTuple):
+    """q-side wavenumber/filter tables (full-spectrum grid views, or the
+    same tables sliced to the rfft half-spectrum in ``q_half`` mode)."""
+
+    k: object
+    l: object
+    wv: object
+    wv2: object
+    wv2i: object
+    wv4: object
+    filtr: object
 
 
 class FastWaveKernel(WaveKernel):
-    """Batched-transform wave kernel (Coupled / UnCoupled / QL physics)."""
+    """Batched-transform wave kernel (Coupled / UnCoupled / QL physics).
 
-    def __init__(self, params: KernelParams, physics: WavePhysics, **kw):
+    ``q_half`` (default: on for even grids whose transform provider has a
+    half-spectrum path): carry every q/psi-side spectrum — ``qh``,
+    ``qwh``, ``ph`` and the q-equation ETDRK4 tables — on the rfft
+    half-spectrum ``(ny, nx//2+1)``. All q-side spectra in this kernel are
+    Hermitian bitwise (they come from transforms of real fields and
+    symmetric-table multiplies; the only asymmetry, mean-flow advection's
+    Nyquist-column phase, lives *within* a retained column), so the half
+    layout stores the same information while (a) skipping the
+    expand/project gathers that ``fft2_real``/``ifft2_real`` pay per real
+    field (a full-field HBM round trip each) and (b) halving the q-side
+    spectral elementwise work (ETDRK4 combinations, filters, budget
+    reductions). Tables are sliced from the FULL-spectrum grid so the
+    retained columns — including the reference's negative-Nyquist
+    convention in the advection phase (``niwqg/Kernel.py:417-418``) — are
+    bitwise identical to the full-layout arithmetic.
+    """
+
+    def __init__(self, params: KernelParams, physics: WavePhysics,
+                 q_half=None, **kw):
         super().__init__(params, physics, **kw)
+        if q_half is None:
+            q_half = (params.nx % 2 == 0 and hasattr(self.tr, "rfft2")
+                      and physics.hermitian_ph)
+        elif q_half and not physics.hermitian_ph:
+            # QL keeps ph UNPROJECTED (``QLModel.py:86``): the carried
+            # anti-Hermitian Nyquist content of qh leaks into its
+            # velocities through the l-derivative (h = -i*l*a), which the
+            # half layout cannot represent. Bug-for-bug parity requires
+            # the full-spectrum q side here.
+            raise ValueError(
+                "q_half requires Hermitian-projecting physics "
+                f"({type(physics).__name__} keeps ph unprojected)")
+        self.q_half = bool(q_half)
+        g = self.grid
+        if self.q_half:
+            nk = params.nx // 2 + 1
+            cut = lambda t: t[:, :nk]
+            ccut = lambda z: C(cut(z.re), cut(z.im))
+            self.qtab = _QTables(
+                k=cut(g.k), l=cut(g.l), wv=cut(g.wv), wv2=cut(g.wv2),
+                wv2i=cut(g.wv2i), wv4=cut(g.wv4), filtr=cut(g.filtr),
+            )
+            self._flt_q = self.qtab.filtr
+            self.coefs_q = ETDRK4Coefs(*[ccut(t) for t in self.coefs_q])
+            self._fwd_real = self.tr.rfft2
+            # the reference reads every q-side spectrum through
+            # ``real(ifft(.))``, which projects within-column (l <-> -l)
+            # asymmetry at the self-mirror columns k=0 and k=nx/2 (e.g.
+            # ``-i*l*ph`` is anti-Hermitian at unpaired Nyquist rows);
+            # ``irfft2`` alone projects only the k-direction residue, so
+            # fold the 2-column projection in — O(ny) per field
+            nx = params.nx
+
+            def _inv_real(z):
+                return self.tr.irfft2(spectral.hermitian_project_half(z, nx))
+
+            self._inv_real = _inv_real
+            # Hermitian-degeneracy weights: interior columns stand for
+            # their dropped conjugate mirrors (``niwqg/QGModel.py:611-619``)
+            deg = np.full((1, nk), 2.0)
+            deg[0, 0] = deg[0, params.nx // 2] = 1.0
+            self._qdeg = jnp.asarray(deg.astype(self.dtype))
+            # y-derivative l table: zero the Nyquist row's interior
+            # columns (see WaveKernel.__init__ on ``_l_dy``)
+            l_dy = np.asarray(self.qtab.l).copy()
+            l_dy[g.ny // 2, 1:params.nx // 2] = 0.0
+            self._l_dy = jnp.asarray(l_dy)
         # Spectral-budget weight tables (f64 numpy, cast once). All three
         # fold the dissipation coefficients into a single wavenumber
         # weight so each budget scalar is ONE weighted reduction:
@@ -65,6 +147,12 @@ class FastWaveKernel(WaveKernel):
         w_eppsi = p.nu4 * wv4 + p.nu * wv2 + p.mu
         self._w_d = jnp.asarray(w_d.astype(self.dtype))
         self._w_chi = jnp.asarray(w_chi.astype(self.dtype))
+        if self.q_half:
+            # ep_psi reduces a q-side spectrum: fold the Hermitian
+            # degeneracy into the weight (the (0,0) mode keeps weight 1,
+            # matching the full-spectrum mean-of-product sum)
+            w_eppsi = (w_eppsi[:, :params.nx // 2 + 1]
+                       * np.asarray(self._qdeg, np.float64))
         self._w_eppsi = jnp.asarray(w_eppsi.astype(self.dtype))
 
     @property
@@ -85,40 +173,52 @@ class FastWaveKernel(WaveKernel):
 
     # ------------------------------------------------------------------
     def derive(self, qh: C, phih: C, prev=None) -> Derived:
-        g, tr, p = self.grid, self.tr, self.params
-
+        g, tr = self.grid, self.tr
         pg = tr.ifft2(stack([phih, mul_i(phih, g.k), mul_i(phih, g.l)]))
         phi, phix, phiy = unstack(pg, 3)
         if self.physics.stale_phi_gradients and prev is not None:
             phix, phiy = prev.phix, prev.phiy
+        return self._invert_core(qh, phi, phix, phiy)
+
+    def _project_ph(self, ph: C) -> C:
+        """The reference inversion's ``fft(real(ifft(.)))`` sandwich."""
+        if self.q_half:
+            return spectral.hermitian_project_half(ph, self.params.nx)
+        return spectral.hermitian_project(ph)
+
+    def _invert_core(self, qh: C, phi: C, phix: C, phiy: C) -> Derived:
+        """Inversion + derived physical fields from given wave fields
+        (shared by per-stage ``derive`` and ``apply_set_q``, which must
+        invert with the *carried* phi — ``niwqg/Kernel.py:520-551``)."""
+        qt, p = self.qtab, self.params
 
         if self.physics.has_wave_pv:
             z = phix.conj() * phiy - phiy.conj() * phix
-            fj = tr.fft2_real(jnp.stack([phi.abs2(), jmul(z).re]))
-            gphi2h = fj[0] * (-g.wv2)
+            fj = self._fwd_real(jnp.stack([phi.abs2(), jmul(z).re]))
+            gphi2h = fj[0] * (-qt.wv2)
             jach = spectral.zero_mean_mode(fj[1])
-            qwh = ((0.5 * gphi2h + jach) * 0.5 / p.f) * g.filtr
+            qwh = ((0.5 * gphi2h + jach) * 0.5 / p.f) * qt.filtr
         else:
             qwh = C.zeros(qh.shape, qh.dtype)
 
-        ph = -((qh - qwh) * g.wv2i)
+        ph = -((qh - qwh) * qt.wv2i)
         if self.physics.hermitian_ph:
             # Coupled/UnCoupled invert through a fft(real(ifft(.)))
             # sandwich (``CoupledModel.py:91-94``, ``UnCoupledModel.py:60-61``)
             # = Hermitian projection; QL keeps ph unprojected
             # (``QLModel.py:86``)
-            ph = spectral.hermitian_project(ph)
+            ph = self._project_ph(ph)
         # batch only the fields a stage actually consumes: the physical
         # streamfunction feeds nothing but the physical-space budget
         # sources (spectral mode carries p=None; the api recomputes it on
         # access), and q_psi is an alias of q unless the physics subtracts
         # the wave PV (``niwqg/Kernel.py:492-501``)
-        specs = [mul_i(ph, -g.l), mul_i(ph, g.k), qh]
+        specs = [mul_i(ph, -self._l_dy), mul_i(ph, qt.k), qh]
         if not self._drop_p:
             specs.insert(0, ph)
         if self.physics.subtracts_wave_pv:
             specs.append(qh - qwh)
-        gb = tr.ifft2_real(stack(specs))
+        gb = self._inv_real(stack(specs))
         i = 0 if self._drop_p else 1
         p_ = None if self._drop_p else gb[0]
         u, v, q = gb[i], gb[i + 1], gb[i + 2]
@@ -138,11 +238,12 @@ class FastWaveKernel(WaveKernel):
         For Coupled/UnCoupled ``J_adv == J_full``; QL advects waves by the
         q-part velocities only (``QLModel.py:54-67``), so it transforms
         one extra field in the same batch."""
-        g, tr = self.grid, self.tr
+        qt, tr = self.qtab, self.tr
         refr_prod = D.phi * D.q_psi
         if self.physics.advect_by_vortex_flow:
-            ph_q = -(qh * g.wv2i)
-            uv = tr.ifft2_real(stack([mul_i(ph_q, -g.l), mul_i(ph_q, g.k)]))
+            ph_q = -(qh * qt.wv2i)
+            uv = self._inv_real(stack([mul_i(ph_q, -self._l_dy),
+                                       mul_i(ph_q, qt.k)]))
             j_adv = D.phix * uv[0] + D.phiy * uv[1]
             j_full = D.phix * D.u + D.phiy * D.v
             nlc = tr.fft2(stack([j_adv, refr_prod, j_full]))
@@ -155,10 +256,15 @@ class FastWaveKernel(WaveKernel):
         return jacwh_raw, refrh_raw, jh_full
 
     def _rhs_from_products(self, D: Derived, jacwh_raw: C, refrh_raw: C):
-        g, tr = self.grid, self.tr
-        uvqh = tr.fft2_real(jnp.stack([D.u * D.q, D.v * D.q]))
-        jacq = spectral.zero_mean_mode(mul_i(uvqh[0], g.k)
-                                       + mul_i(uvqh[1], g.l))
+        qt = self.qtab
+        uvqh = self._fwd_real(jnp.stack([D.u * D.q, D.v * D.q]))
+        # _l_dy stores the half-layout Hermitian representative of the
+        # l-derivative (exactly 0 at the Nyquist row's interior columns,
+        # where the reference's full-spectrum qh carries purely
+        # anti-Hermitian content that every real(ifft(.)) readout
+        # projects away)
+        jacq = spectral.zero_mean_mode(mul_i(uvqh[0], qt.k)
+                                       + mul_i(uvqh[1], self._l_dy))
         Fn = -jacq
         jacwh = jacwh_raw
         if self.physics.zero_mean_jac_psi_phi:
@@ -236,9 +342,14 @@ class FastWaveKernel(WaveKernel):
         # off the real axis), so when the physics keeps ph unprojected
         # (QL) we project it here — reproducing what ``ifft(ph).real``
         # computes (``spectral.hermitian_project``).
-        ph = D.ph if self.physics.hermitian_ph \
-            else spectral.hermitian_project(D.ph)
+        if self.physics.hermitian_ph:
+            ph = D.ph
+        elif self.q_half:
+            ph = spectral.hermitian_project_half(D.ph, p.nx)
+        else:
+            ph = spectral.hermitian_project(D.ph)
         rqp = qh.re * ph.re + qh.im * ph.im  # Re(conj(qh)*ph)
+        # (_w_eppsi carries the Hermitian-degeneracy weights in q_half mode)
         ep_psi = (self._w_eppsi * rqp).sum() * M2
 
         # Im(conj(Rh) * (-wv2*phih)) and Re(conj(-wv2*phih) * Jh)
@@ -267,9 +378,9 @@ class FastWaveKernel(WaveKernel):
     def _stage_sources_batched(self, qh: C, phih: C, D: Derived) -> StageSources:
         """Physical-space sources with batched transforms (used when
         ``spectral_budgets=False`` or in the stale-gradient quirks mode)."""
-        g, tr = self.grid, self.tr
+        g, qt, tr = self.grid, self.qtab, self.tr
         if D.p is None:  # spectral-mode state driven through the physical path
-            D = D._replace(p=tr.ifft2_real(D.ph))
+            D = D._replace(p=self._inv_real(D.ph))
         batch = tr.ifft2(stack([
             phih * (-g.wv2),                 # lapphi
             phih * g.wv4,                    # lap2phi
@@ -277,7 +388,37 @@ class FastWaveKernel(WaveKernel):
             mul_i(phih, -g.l * g.wv2),       # lphiy
         ]))
         lapphi, lap2phi, lphix, lphiy = unstack(batch, 4)
-        rb = tr.ifft2_real(stack([D.ph * g.wv4, qh * (-g.wv2)]))
+        rb = self._inv_real(stack([D.ph * qt.wv4, qh * (-qt.wv2)]))
         lap2psi, lapq = rb[0], rb[1]
         return self.sources_from_fields(D, lapphi, lap2phi, lphix, lphiy,
                                         lap2psi, lapq)
+
+    # ------------------------------------------------------------------
+    # state construction / initialization (q_half-aware layouts)
+    # ------------------------------------------------------------------
+    def zero_state(self) -> WaveState:
+        if not self.q_half:
+            return super().zero_state()
+        shape = (self.grid.nl, self.grid.nk)
+        hshape = (self.grid.nl, self.params.nx // 2 + 1)
+        zf = C.zeros(shape, self.dtype)   # phi-side spectra / physical C
+        zh = C.zeros(hshape, self.dtype)  # q-side half spectra
+        r = jnp.zeros(shape, self.dtype)
+        D = Derived(ph=zh, p=None if self._drop_p else r, q=r, q_psi=r,
+                    qwh=zh, phi=zf, phix=zf, phiy=zf, u=r, v=r)
+        zero = self._s(0.0)
+        return WaveState(t=zero, tc=jnp.asarray(0, jnp.int32), qh=zh,
+                         phih=zf, d=D, Ke=zero, Pw=zero, Kw=zero)
+
+    def apply_set_q(self, s: WaveState, q) -> WaveState:
+        if not self.q_half:
+            return super().apply_set_q(s, q)
+        # same semantics as the base (``niwqg/Kernel.py:520-551``): invert
+        # with the *carried* phi/gradients, preserve the carried wave
+        # fields, refresh Ke
+        q = jnp.asarray(np.asarray(q, dtype=self.dtype))
+        qh = self._fwd_real(q)
+        D = self._invert_core(qh, s.d.phi, s.d.phix, s.d.phiy)
+        D = D._replace(phi=s.d.phi, phix=s.d.phix, phiy=s.d.phiy)
+        Ke = self.ke_qg(D.ph)
+        return s._replace(qh=qh, d=D, Ke=Ke)

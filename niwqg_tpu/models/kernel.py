@@ -203,6 +203,26 @@ class WaveKernel:
             linear_operator_phi(self.grid, p.U, p.f, p.kappa2, p.nu4w, p.nuw, p.muw),
             p.dt,
         )
+        # q-side layout indirection: the faithful kernel keeps the q/psi
+        # side on the same full-spectrum layout as phi, so these aliases
+        # are identities here. The batched fast kernel's ``q_half`` mode
+        # rebinds them to the rfft half-spectrum (tables sliced from the
+        # full grid so the retained columns — including the reference's
+        # negative-Nyquist convention — are bitwise identical).
+        self.qtab = self.grid          # wavenumber/filter tables, q side
+        self._flt_q = self.grid.filtr  # step-stage filter, q equation
+        self._flt_w = self.grid.filtr  # step-stage filter, phi equation
+        self._fwd_real = self.tr.fft2_real   # real field -> q-side layout
+        self._inv_real = self.tr.ifft2_real  # q-side layout -> real field
+        self._qdeg = None  # Hermitian-degeneracy weights (half mode only)
+        # l table for q-side y-derivatives (i*l*zh). In half mode the
+        # Nyquist row's interior columns are zeroed: an l-derivative of a
+        # Hermitian spectrum is PURELY anti-Hermitian there (pair
+        # (ny/2, j)<->(ny/2, nx-j) has z2 = -conj(z1)), so its half-layout
+        # Hermitian representative is exactly 0 — matching what the
+        # reference's real(ifft(.)) readout computes. Even powers of l
+        # (e.g. the strain's l^2) keep the plain table.
+        self._l_dy = self.grid.l
 
     # ------------------------------------------------------------------
     # scalars
@@ -334,36 +354,36 @@ class WaveKernel:
     # ------------------------------------------------------------------
     def step(self, s: WaveState) -> WaveState:
         cq, cw = self.coefs_q, self.coefs_w
-        flt = self.grid.filtr
+        fq, fw = self._flt_q, self._flt_w
         dt = self._s(self.params.dt)
         want = self.params.compute_budgets
 
         # -- stage 1 (sources from carried state)
         Fn0, Fn0w, src1 = self.stage_terms(s.qh, s.phih, s.d, want)
         qh0, phih0 = s.qh, s.phih
-        qh = (cq.expch_h * qh0 + Fn0 * cq.Qh) * flt
-        phih = (cw.expch_h * phih0 + Fn0w * cw.Qh) * flt
+        qh = (cq.expch_h * qh0 + Fn0 * cq.Qh) * fq
+        phih = (cw.expch_h * phih0 + Fn0w * cw.Qh) * fw
         qh1, phih1 = qh, phih
         D = self.derive(qh, phih, s.d)
 
         # -- stage 2
         Fna, Fnaw, src2 = self.stage_terms(qh, phih, D, want)
-        qh = (cq.expch_h * qh0 + Fna * cq.Qh) * flt
-        phih = (cw.expch_h * phih0 + Fnaw * cw.Qh) * flt
+        qh = (cq.expch_h * qh0 + Fna * cq.Qh) * fq
+        phih = (cw.expch_h * phih0 + Fnaw * cw.Qh) * fw
         D = self.derive(qh, phih, D)
 
         # -- stage 3
         Fnb, Fnbw, src3 = self.stage_terms(qh, phih, D, want)
-        qh = (cq.expch_h * qh1 + (2.0 * Fnb - Fn0) * cq.Qh) * flt
-        phih = (cw.expch_h * phih1 + (2.0 * Fnbw - Fn0w) * cw.Qh) * flt
+        qh = (cq.expch_h * qh1 + (2.0 * Fnb - Fn0) * cq.Qh) * fq
+        phih = (cw.expch_h * phih1 + (2.0 * Fnbw - Fn0w) * cw.Qh) * fw
         D = self.derive(qh, phih, D)
 
         # -- stage 4 + final combination
         Fnc, Fncw, src4 = self.stage_terms(qh, phih, D, want)
         qh = (cq.expch * qh0 + Fn0 * cq.f0 + 2.0 * (Fna + Fnb) * cq.fab
-              + Fnc * cq.fc) * flt
+              + Fnc * cq.fc) * fq
         phih = (cw.expch * phih0 + Fn0w * cw.f0 + 2.0 * (Fnaw + Fnbw) * cw.fab
-                + Fncw * cw.fc) * flt
+                + Fncw * cw.fc) * fw
 
         if self.params.compute_budgets:
             Ke = s.Ke + dt * (src1.k + 2.0 * (src2.k + src3.k) + src4.k) / 6.0
@@ -424,10 +444,16 @@ class WaveKernel:
     # energy / diagnostic scalars (``niwqg/Kernel.py:600-706``)
     # ------------------------------------------------------------------
     def spec_var(self, zh: C):
-        return self.grid.spec_var(zh)
+        """Variance of a q-side spectrum (layout-aware: the fast kernel's
+        ``q_half`` mode sums with Hermitian-degeneracy weights)."""
+        if self._qdeg is None:
+            return self.grid.spec_var(zh)
+        dens = zh.abs2() * self._qdeg
+        dens = dens.at[0, 0].set(0.0)
+        return dens.sum() / self._s(float(self.grid.M) ** 2)
 
     def ke_qg(self, ph: C):
-        return 0.5 * self.spec_var(ph * self.grid.wv)
+        return 0.5 * self.spec_var(ph * self.qtab.wv)
 
     def ke_niw(self, phi: C):
         return 0.5 * phi.abs2().mean()
@@ -452,7 +478,7 @@ class WaveKernel:
         return (q_psi**3).mean() / ((q_psi**2).mean()) ** 1.5
 
     def chi_q(self, qh: C):
-        return -self.params.nu4 * self.spec_var(qh * self.grid.wv2)
+        return -self.params.nu4 * self.spec_var(qh * self.qtab.wv2)
 
     def cfl(self, s: WaveState):
         phimax = jnp.sqrt(s.d.phi.abs2().max())
@@ -461,10 +487,12 @@ class WaveKernel:
 
     def strain(self, ph: C):
         """Geostrophic rate of strain (``niwqg/Kernel.py:503-509``)."""
-        g, tr = self.grid, self.tr
-        pxx = tr.ifft2_real(ph * (-g.k * g.k))
-        pyy = tr.ifft2_real(ph * (-g.l * g.l))
-        pxy = tr.ifft2_real(ph * (-g.k * g.l))
+        g = self.qtab
+        pxx = self._inv_real(ph * (-g.k * g.k))
+        pyy = self._inv_real(ph * (-g.l * g.l))
+        # k*l is odd in l: use the y-derivative table (half-layout
+        # Hermitian representative at the Nyquist row)
+        pxy = self._inv_real(ph * (-g.k * self._l_dy))
         return 4.0 * pxy**2 + (pxx - pyy) ** 2
 
     def okubo_weiss(self, s: WaveState):

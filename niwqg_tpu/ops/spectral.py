@@ -29,6 +29,26 @@ def hermitian_project(zh: C) -> C:
     return C(0.5 * (zh.re + refl(zh.re)), 0.5 * (zh.im - refl(zh.im)))
 
 
+def hermitian_project_half(zh: C, nx: int) -> C:
+    """:func:`hermitian_project` expressed on the half-spectrum layout.
+
+    Interior columns ``0 < k < nx/2`` are unconstrained — their dropped
+    mirror columns are conjugate by construction. The self-mirror columns
+    ``k = 0`` and ``k = nx/2`` pair rows ``l <-> -l`` *within* the column;
+    that is the only place mean-flow advection can rotate unpaired modes
+    off the Hermitian subspace, so projecting just those two columns
+    reproduces what ``fft(real(ifft(.)))`` computes on the full spectrum.
+    """
+    re, im = zh.re, zh.im
+    for c in (0, nx // 2):
+        cre, cim = re[..., :, c], im[..., :, c]
+        rre = jnp.roll(jnp.flip(cre, axis=-1), 1, axis=-1)
+        rim = jnp.roll(jnp.flip(cim, axis=-1), 1, axis=-1)
+        re = re.at[..., :, c].set(0.5 * (cre + rre))
+        im = im.at[..., :, c].set(0.5 * (cim - rim))
+    return C(re, im)
+
+
 def _herm_reflect_conj(zh: C) -> C:
     """conj(Z(-k,-l)) on the full spectral grid."""
 
