@@ -680,10 +680,38 @@ class UnCoupledModel(_WaveModel):
 
 
 class QLModel(_WaveModel):
-    """Quasilinear coupled model (intended physics of ``niwqg/QLModel.py``)."""
+    """Quasilinear coupled model (intended physics of ``niwqg/QLModel.py``).
+
+    ``faithful_quirks=True`` reproduces the *repaired* reference QL
+    bug-for-bug (see ``models/ql.py``): the ``1j`` wave-PV factor
+    (``QLModel.py:83``), unprojected ``ph`` (``QLModel.py:86``), and the
+    never-updated ``self.q`` — whose user-visible faces are a frozen
+    ``m.q`` attribute and a frozen ``ens`` diagnostic (both read the
+    initial vorticity, since ``QL._invert`` never refreshes ``self.q``)."""
 
     model = " Quasilinear Model"
     _physics_factory = staticmethod(QLPhysics)
+
+    def __init__(self, *args, faithful_quirks: bool = False, **kwargs):
+        self._faithful = bool(faithful_quirks)
+        if faithful_quirks:
+            self._physics_factory = (
+                lambda: QLPhysics(faithful_quirks=True))
+            # the reference's _calc_ens reads the frozen self.q
+            # (``niwqg/Kernel.py:625-627``), which in this mode is exactly
+            # the carried q_psi
+            reg = diag_mod.wave_kernel_registry()
+            reg.add("ens", "Quasigeostrophic Potential Enstrophy", r"s^{-2}",
+                    function=lambda K, s, aux: K.ens(s.d.q_psi))
+            self._registry_factory = lambda: reg
+        super().__init__(*args, **kwargs)
+
+    @property
+    def q(self):
+        if self._faithful:
+            # reference ``self.q`` is never updated after set_q
+            return np.asarray(self.state.d.q_psi)
+        return np.asarray(self.state.d.q)
 
 
 class YBJModel(_WaveModel):

@@ -168,8 +168,12 @@ class FastWaveKernel(WaveKernel):
         # (ep_phi's nuw term, chi_phi's muw term) always see FRESH
         # gradients (they read phih), while the reference integrates the
         # stale physical phix/phiy (``niwqg/Kernel.py:608-611``).
+        # Stale-q_psi (faithful QL) likewise: ep_psi mixes the FROZEN
+        # ``self.q`` with current ph/qh (``niwqg/Kernel.py:635-640``),
+        # which the single Re(conj(qh)*ph) reduction cannot express.
         return self.params.spectral_budgets and \
-            not self.physics.stale_phi_gradients
+            not self.physics.stale_phi_gradients and \
+            not self.physics.stale_q_psi
 
     # ------------------------------------------------------------------
     def derive(self, qh: C, phih: C, prev=None) -> Derived:
@@ -178,7 +182,11 @@ class FastWaveKernel(WaveKernel):
         phi, phix, phiy = unstack(pg, 3)
         if self.physics.stale_phi_gradients and prev is not None:
             phix, phiy = prev.phix, prev.phiy
-        return self._invert_core(qh, phi, phix, phiy)
+        D = self._invert_core(qh, phi, phix, phiy)
+        if self.physics.stale_q_psi and prev is not None:
+            # bug-for-bug QL mode: q_psi frozen at the set_q value
+            D = D._replace(q_psi=prev.q_psi)
+        return D
 
     def _project_ph(self, ph: C) -> C:
         """The reference inversion's ``fft(real(ifft(.)))`` sandwich."""
@@ -197,6 +205,9 @@ class FastWaveKernel(WaveKernel):
             fj = self._fwd_real(jnp.stack([phi.abs2(), jmul(z).re]))
             gphi2h = fj[0] * (-qt.wv2)
             jach = spectral.zero_mean_mode(fj[1])
+            if self.physics.wave_pv_imag_jac:
+                # reference QL transcription bug (``QLModel.py:83``)
+                jach = jmul(jach)
             qwh = ((0.5 * gphi2h + jach) * 0.5 / p.f) * qt.filtr
         else:
             qwh = C.zeros(qh.shape, qh.dtype)

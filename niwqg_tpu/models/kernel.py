@@ -162,6 +162,29 @@ class WavePhysics:
     #                       velocities only (quasilinear, ``QLModel.py:54-67``)
     hermitian_ph = True
     advect_by_vortex_flow = False
+    #   wave_pv_imag_jac  — reference QL transcription bug: the wave-PV
+    #                       Jacobian term enters as ``1j*jach``
+    #                       (``niwqg/QLModel.py:83``)
+    #   stale_q_psi       — reference QL never updates ``self.q`` inside
+    #                       ``_invert`` (``QLModel.py:69-88``, unlike
+    #                       ``CoupledModel.py:97``), so ``_calc_rel_vorticity``
+    #                       (``Kernel.py:492-501``) pins ``q_psi`` to the
+    #                       INITIAL vorticity from ``set_q`` forever; the
+    #                       advection Jacobian is unaffected (it recomputes
+    #                       ``q = ifft(qh).real`` locally, ``Kernel.py:481``)
+    wave_pv_imag_jac = False
+    stale_q_psi = False
+    #   jac_reads_updated_qh — reference QL stage-ordering quirk: the
+    #                       mutable stepper updates ``self.qh`` BEFORE
+    #                       calling ``jacobian_psi_phi`` (e.g.
+    #                       ``niwqg/Kernel.py:347`` updates, ``:350``
+    #                       consumes), and QL's quasilinear Jacobian reads
+    #                       ``self.qh`` for its vortex velocities
+    #                       (``QLModel.py:65-66``) — so the wave advection
+    #                       sees the *just-updated* qh of the current
+    #                       stage, not the stage input. Only QL physics
+    #                       reads qh there, so only QL carries the skew.
+    jac_reads_updated_qh = False
 
     def invert(self, K: "WaveKernel", qh: C, phih: C, phi: C) -> Derived:
         raise NotImplementedError
@@ -248,6 +271,10 @@ class WaveKernel:
             # WavePhysics.stale_phi_gradients); refreshes happen only via
             # refresh_phi_gradients on the reference's cadence
             D = D._replace(phix=prev.phix, phiy=prev.phiy)
+        if self.physics.stale_q_psi and prev is not None:
+            # bug-for-bug QL mode: q_psi frozen at the set_q value (see
+            # WavePhysics.stale_q_psi)
+            D = D._replace(q_psi=prev.q_psi)
         u, v = spectral.velocities(self.tr, self.grid, D.ph)
         return D._replace(u=u, v=v)
 
@@ -296,11 +323,14 @@ class WaveKernel:
         xi2 = L_diss_phi.mean() / p.f
         pi = (0.5 * phi.mean() * (phi.conj() * q_psi).mean()).im
 
-        # ep_psi (``niwqg/Kernel.py:635-640``)
+        # ep_psi (``niwqg/Kernel.py:635-640``). It reads ``self.q``, which
+        # QL's ``_invert`` never refreshes (stale_q_psi) — there the frozen
+        # field is exactly q_psi; all other physics keep self.q fresh.
+        q_eps = q_psi if self.physics.stale_q_psi else D.q
         ep_psi = (
-            p.nu4 * (D.q * lap2psi).mean()
+            p.nu4 * (q_eps * lap2psi).mean()
             - p.nu * (D.p * lapq).mean()
-            + p.mu * (D.p * D.q).mean()
+            + p.mu * (D.p * q_eps).mean()
         )
 
         # chi_phi (``niwqg/Kernel.py:646-652``)
@@ -358,10 +388,18 @@ class WaveKernel:
         dt = self._s(self.params.dt)
         want = self.params.compute_budgets
 
+        # QL stage-ordering quirk: the reference updates qh before the
+        # wave Jacobian reads it (WavePhysics.jac_reads_updated_qh) — the
+        # skewed Fnw replaces the stage-input one everywhere it is reused
+        skew = self.physics.jac_reads_updated_qh
+        reFnw = (lambda qh_new, D_: self.nonlinear(qh_new, D_)[1])
+
         # -- stage 1 (sources from carried state)
         Fn0, Fn0w, src1 = self.stage_terms(s.qh, s.phih, s.d, want)
         qh0, phih0 = s.qh, s.phih
         qh = (cq.expch_h * qh0 + Fn0 * cq.Qh) * fq
+        if skew:
+            Fn0w = reFnw(qh, s.d)
         phih = (cw.expch_h * phih0 + Fn0w * cw.Qh) * fw
         qh1, phih1 = qh, phih
         D = self.derive(qh, phih, s.d)
@@ -369,12 +407,16 @@ class WaveKernel:
         # -- stage 2
         Fna, Fnaw, src2 = self.stage_terms(qh, phih, D, want)
         qh = (cq.expch_h * qh0 + Fna * cq.Qh) * fq
+        if skew:
+            Fnaw = reFnw(qh, D)
         phih = (cw.expch_h * phih0 + Fnaw * cw.Qh) * fw
         D = self.derive(qh, phih, D)
 
         # -- stage 3
         Fnb, Fnbw, src3 = self.stage_terms(qh, phih, D, want)
         qh = (cq.expch_h * qh1 + (2.0 * Fnb - Fn0) * cq.Qh) * fq
+        if skew:
+            Fnbw = reFnw(qh, D)
         phih = (cw.expch_h * phih1 + (2.0 * Fnbw - Fn0w) * cw.Qh) * fw
         D = self.derive(qh, phih, D)
 
@@ -382,6 +424,8 @@ class WaveKernel:
         Fnc, Fncw, src4 = self.stage_terms(qh, phih, D, want)
         qh = (cq.expch * qh0 + Fn0 * cq.f0 + 2.0 * (Fna + Fnb) * cq.fab
               + Fnc * cq.fc) * fq
+        if skew:
+            Fncw = reFnw(qh, D)
         phih = (cw.expch * phih0 + Fn0w * cw.f0 + 2.0 * (Fnaw + Fnbw) * cw.fab
                 + Fncw * cw.fc) * fw
 

@@ -124,18 +124,25 @@ def gradients(tr, grid, zh: C):
     return zx, zy
 
 
-def wave_pv_hat(tr, grid, f: float, phi: C, phix: C, phiy: C) -> C:
+def wave_pv_hat(tr, grid, f: float, phi: C, phix: C, phiy: C,
+                imag_jac: bool = False) -> C:
     """Wave potential vorticity qwh = 0.5*(0.5*gphi2h + J(phi*,phi)hat)/f.
 
     gphi2h = -wv2 * fft(|phi|^2); the Jacobian term is
     fft((1j*(conj(phix)*phiy - conj(phiy)*phix)).real) with the mean mode
     zeroed (``niwqg/CoupledModel.py:75-88``). The filter is applied by the
     caller to match the reference's ``qwh *= self.filtr``.
+
+    ``imag_jac=True`` reproduces the reference QL transcription bug
+    (``niwqg/QLModel.py:83``): the Jacobian term enters as ``1j*jach``
+    (anti-Hermitian) instead of ``jach``.
     """
     gphi2h = tr.fft2_real(phi.abs2()) * (-grid.wv2)
     z = phix.conj() * phiy - phiy.conj() * phix
     jac_real = jmul(z).re  # (1j*z).real
     jach = zero_mean_mode(tr.fft2_real(jac_real))
+    if imag_jac:
+        jach = jmul(jach)
     return (0.5 * gphi2h + jach) * 0.5 / f
 
 

@@ -68,6 +68,34 @@ def test_fast_matches_faithful(model_mod):
         assert np.abs(va - vb).max() < 1e-9 * scale + 1e-18, name
 
 
+def test_ql_faithful_quirks_fast_matches_faithful():
+    """QL ``faithful_quirks`` (1j wave-PV factor + frozen q_psi) must agree
+    between the batched fast kernel and the faithful kernel."""
+    runs = []
+    for fast in (False, True):
+        U0 = 0.05
+        m = QLModel.Model(use_filter=False, U=-U0, tdiags=1,
+                          tmax=6 * 10000.0, fast=fast, faithful_quirks=True)
+        k0 = 10 * (2 * np.pi / m.L)
+        q = ic.LambDipole(m, U=U0, R=2 * np.pi / k0)
+        phi = np.asarray(ic.WavePacket(m, k=2 * k0, l=0, R=2 * np.pi / k0,
+                                       x0=m.L / 2, y0=m.L / 2))
+        m.set_q(q)
+        m.set_phi(phi)
+        m.run()
+        runs.append(m)
+    a, b = runs
+    qs = np.abs(a.q).max()
+    assert np.abs(a.q - b.q).max() < 1e-10 * qs
+    assert np.abs(np.asarray(a.phi) - np.asarray(b.phi)).max() < 1e-10
+    assert abs(a.Ke - b.Ke) < 1e-10 * (abs(a.Ke) + 1e-300)
+    for name in ("ke_qg", "ens", "gamma_r", "ep_psi", "pi"):
+        va = a.diagnostics[name]["value"]
+        vb = b.diagnostics[name]["value"]
+        scale = np.abs(va).max()
+        assert np.abs(va - vb).max() < 1e-9 * scale + 1e-18, name
+
+
 @pytest.mark.parametrize("fast", [False, True])
 def test_compute_budgets_off(fast):
     """compute_budgets=False must not change the trajectory: prognostic

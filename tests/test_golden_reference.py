@@ -142,6 +142,83 @@ def test_uncoupled_model_parity():
         assert np.abs(a - b).max() < 1e-10 * scale + 1e-13, name
 
 
+def test_ql_model_parity():
+    """Quasilinear model (``faithful_quirks=True``) vs the monkeypatch-
+    repaired reference QL.
+
+    The reference ``niwqg/QLModel.py`` is unconstructible as shipped; it is
+    exactly two fixes from runnable (SURVEY.md §2 #4): set ``model`` (crash
+    at ``Kernel.py:140``) and alias ``jacobian_phic_phi`` from
+    ``CoupledModel.py:59-73`` (``QLModel.py:81``). With those applied, the
+    faithful mode must reproduce it bug-for-bug: the ``1j`` wave-PV factor
+    (``QLModel.py:83``), the unprojected ``ph`` (``QLModel.py:86``), and
+    the frozen ``self.q``/``q_psi`` (``QL._invert`` never updates ``q``,
+    so the refraction term and the ens/skew/conc_niw diagnostics see the
+    initial vorticity forever)."""
+    from niwqg import CoupledModel as RefCoupled
+    from niwqg import InitialConditions as ric
+    from niwqg import QLModel as RefQL
+
+    from niwqg_tpu import QLModel
+
+    RefQL.Model.model = "QL Model"
+    RefQL.Model.jacobian_phic_phi = RefCoupled.Model.jacobian_phic_phi
+
+    U0 = 0.05
+    kw = dict(use_filter=False, U=-U0, tdiags=1, tmax=NSTEPS * DT)
+    ref = RefQL.Model(**kw)
+    k0 = 10 * (2 * np.pi / ref.L)
+    q = ric.LambDipole(ref, U=U0, R=2 * np.pi / k0)
+    # a localized packet so the wave PV (where the 1j quirk lives) is
+    # nonzero and the frozen q_psi actually differs from the evolving q
+    phi = np.asarray(ric.WavePacket(ref, k=2 * k0, l=0, R=2 * np.pi / k0,
+                                    x0=ref.L / 2, y0=ref.L / 2))
+    ref.set_q(q)
+    ref.set_phi(phi)
+    ref.run()
+
+    m = QLModel.Model(faithful_quirks=True, **kw)
+    m.set_q(q)
+    m.set_phi(phi)
+    m.run()
+
+    assert np.abs(ref.qh - m.qh).max() < 1e-12 * np.abs(ref.qh).max()
+    assert np.abs(ref.phi - m.phi).max() < 1e-12 * np.abs(ref.phi).max()
+    # the reference's q attribute stays the initial vorticity (never
+    # refreshed by QL._invert); the faithful shell mirrors that
+    assert np.abs(ref.q - m.q).max() < 1e-12 * np.abs(ref.q).max()
+    assert abs(ref.Ke - m.Ke) < 1e-12 * abs(ref.Ke)
+    for name in ref.diagnostics:
+        a = np.asarray(ref.diagnostics[name]["value"], dtype=np.complex128)
+        b = np.asarray(m.diagnostics[name]["value"], dtype=np.complex128)
+        scale = np.abs(a).max() + 1e-300
+        assert np.abs(a - b).max() < 1e-10 * scale + 1e-13, name
+
+
+def test_ql_intended_differs_from_faithful():
+    """The default (intended-physics) QL must actually diverge from the
+    faithful mode — guards against the quirk flags becoming dead code."""
+    from niwqg import InitialConditions as ric
+
+    from niwqg_tpu import QLModel
+
+    U0 = 0.05
+    kw = dict(use_filter=False, U=-U0, tdiags=1, tmax=NSTEPS * DT)
+    runs = {}
+    for faithful in (False, True):
+        m = QLModel.Model(faithful_quirks=faithful, **kw)
+        k0 = 10 * (2 * np.pi / m.L)
+        q = ric.LambDipole(m, U=U0, R=2 * np.pi / k0)
+        phi = np.asarray(ric.WavePacket(m, k=2 * k0, l=0, R=2 * np.pi / k0,
+                                        x0=m.L / 2, y0=m.L / 2))
+        m.set_q(q)
+        m.set_phi(phi)
+        m.run()
+        runs[faithful] = m
+    d = np.abs(runs[True].phih - runs[False].phih).max()
+    assert d > 1e-8 * np.abs(runs[False].phih).max()
+
+
 def test_ybj_model_parity():
     """YBJ wave-only evolution on a frozen dipole flow (faithful quirks)."""
     from niwqg import YBJModel as RefYBJ
