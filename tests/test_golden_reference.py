@@ -142,6 +142,105 @@ def test_uncoupled_model_parity():
         assert np.abs(a - b).max() < 1e-10 * scale + 1e-13, name
 
 
+def test_coupled_dealias_parity():
+    """2/3-rule dealias mode vs the reference mask (``niwqg/Kernel.py:277-281``).
+
+    Every other golden test runs ``dealias=False``; this one proves the
+    mask itself (bitwise) and the masked 10-step trajectory."""
+    from niwqg import CoupledModel as RefCoupled
+    from niwqg import InitialConditions as ric
+
+    from niwqg_tpu import CoupledModel
+
+    U0 = 0.05
+    kw = dict(use_filter=False, dealias=True, U=-U0, tdiags=1,
+              tmax=NSTEPS * DT)
+    ref = RefCoupled.Model(**kw)
+    k0 = 10 * (2 * np.pi / ref.L)
+    q = ric.LambDipole(ref, U=U0, R=2 * np.pi / k0)
+    phi = (np.ones_like(q) + 1j) * 5 * U0 / np.sqrt(2)
+    ref.set_q(q)
+    ref.set_phi(phi)
+    ref.run()
+
+    m = CoupledModel.Model(**kw)
+    # the mask must be the reference's exact 2/3-rule mask
+    assert np.array_equal(np.asarray(m.kernel.grid.filtr), ref.filtr)
+    assert ref.filtr.min() == 0.0 and ref.filtr.max() == 1.0
+    m.set_q(q)
+    m.set_phi(phi)
+    m.run()
+
+    assert np.abs(ref.qh - m.qh).max() < 1e-12 * np.abs(ref.qh).max()
+    assert np.abs(ref.phi - m.phi).max() < 1e-12
+    assert abs(ref.Ke - m.Ke) < 1e-12 * abs(ref.Ke)
+    for name in ("ke_qg", "ens", "gamma_r", "ep_psi", "pi"):
+        a = np.asarray(ref.diagnostics[name]["value"])
+        b = np.asarray(m.diagnostics[name]["value"])
+        scale = np.abs(a).max() + 1e-300
+        assert np.abs(a - b).max() / scale < 1e-10, name
+
+
+def test_qg_dealias_reference_crashes():
+    """The reference QGModel's 2/3-rule mask uses float slice indices
+    (``niwqg/QGModel.py:293-297``) — a latent Python-3 bug that makes
+    ``dealias=True`` unusable there. Documented divergence: this framework
+    uses the integer-index rule on the half spectrum instead
+    (``grid.py:159-166``)."""
+    from niwqg import QGModel as RefQG
+
+    with pytest.raises(TypeError):
+        RefQG.Model(use_filter=False, dealias=True, tmax=DT)
+
+
+def test_qg_dealias_parity_repaired():
+    """QG dealias trajectory vs the reference with ONLY the float-index
+    bug repaired (``nx/3`` -> ``nx//3`` in ``QGModel.py:295-296``); the
+    repaired reference mask must equal this framework's half-spectrum
+    2/3-rule mask bitwise."""
+    from niwqg import QGModel as RefQG
+    from niwqg import InitialConditions as ric
+
+    from niwqg_tpu import QGModel
+
+    orig = RefQG.Model._initialize_filter
+
+    def repaired(self):
+        if self.dealias and not self.use_filter:
+            self.filtr = np.ones_like(self.wv2)
+            self.filtr[self.nx // 3:2 * self.nx // 3, :] = 0.0
+            self.filtr[:, self.ny // 3:2 * self.ny // 3] = 0.0
+        else:
+            orig(self)
+
+    RefQG.Model._initialize_filter = repaired
+    try:
+        U0 = 0.05
+        kw = dict(use_filter=False, dealias=True, U=-U0, tdiags=1,
+                  passive_scalar=True, tmax=NSTEPS * DT)
+        ref = RefQG.Model(**kw)
+        k0 = 10 * (2 * np.pi / ref.L)
+        q = ric.LambDipole(ref, U=U0, R=2 * np.pi / k0)
+        c = np.real(ric.PlaneWave(ref, k=k0, l=k0) * q.mean())
+        ref.set_q(q)
+        ref.set_c(c)
+        ref.run()
+
+        m = QGModel.Model(**kw)
+        assert np.array_equal(np.asarray(m.kernel.grid.filtr), ref.filtr)
+        m.set_q(q)
+        m.set_c(c)
+        m.run()
+
+        assert np.abs(ref.q - m.q).max() < 1e-12 * np.abs(ref.q).max()
+        assert np.abs(ref.c - m.c).max() < 1e-12 * (np.abs(ref.c).max()
+                                                    + 1e-300)
+        assert abs(ref.Ke - m.Ke) < 1e-12 * abs(ref.Ke)
+        assert abs(ref.cvar - m.cvar) < 1e-10 * (abs(ref.cvar) + 1e-300)
+    finally:
+        RefQG.Model._initialize_filter = orig
+
+
 def test_ql_model_parity():
     """Quasilinear model (``faithful_quirks=True``) vs the monkeypatch-
     repaired reference QL.
