@@ -519,10 +519,18 @@ class _WaveModel(_ModelBase):
 
             cls = FastWaveKernel
             if self._mesh is not None:
-                # distributed states shard the spectral column axis; the
-                # half-spectrum width nx//2+1 is never mesh-divisible, so
-                # meshes keep the full-spectrum q side
-                kw.setdefault("q_half", False)
+                from .parallel.pfft import PencilTransform
+
+                if isinstance(kw.get("transform"), PencilTransform):
+                    # the pencil rfft pads spectral columns to a
+                    # mesh-divisible count, which the fast kernel's
+                    # unpadded q_half tables don't model — the shard_map
+                    # path keeps the full-spectrum q side
+                    kw.setdefault("q_half", False)
+                # the GSPMD MXU path keeps q_half: the half-spectrum
+                # width nx//2+1 is never mesh-divisible, so those arrays
+                # are ROW-sharded instead (shard_wave_state) and the
+                # matmul-DFT partitions from there
         return cls(self.params, self._physics_factory(),
                    dtype=dtype, backend=backend, precision=precision, **kw)
 

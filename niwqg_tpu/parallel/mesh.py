@@ -54,14 +54,25 @@ def _put(leaf, sh):
 
 
 def shard_wave_state(state, mesh: Mesh):
-    """Place a WaveState on the mesh with pencil-consistent shardings."""
-    ps, ss, rs = phys_sharding(mesh), spec_sharding(mesh), scalar_sharding(mesh)
+    """Place a WaveState on the mesh with pencil-consistent shardings.
 
-    def put_c(z: C, sh):
+    Spectral arrays are column-sharded when their width divides the mesh
+    (the pencil layout); the fast kernel's ``q_half`` arrays are
+    ``(ny, nx//2+1)`` — never mesh-divisible — and get row-sharded instead
+    (rows are the full ``ny``), from which the GSPMD matmul-DFT partitions
+    fine (same trick as :func:`shard_qg_state`)."""
+    ps, rs = phys_sharding(mesh), scalar_sharding(mesh)
+    nP = mesh.shape[AXIS]
+
+    def spec(z: C):
+        return spec_sharding(mesh) if z.re.shape[-1] % nP == 0 else ps
+
+    def put_c(z: C, sh=None):
+        sh = sh or spec(z)
         return C(_put(z.re, sh), _put(z.im, sh))
 
     d = state.d._replace(
-        ph=put_c(state.d.ph, ss), qwh=put_c(state.d.qwh, ss),
+        ph=put_c(state.d.ph), qwh=put_c(state.d.qwh),
         phi=put_c(state.d.phi, ps), phix=put_c(state.d.phix, ps),
         phiy=put_c(state.d.phiy, ps),
         p=None if state.d.p is None else _put(state.d.p, ps),
@@ -71,7 +82,7 @@ def shard_wave_state(state, mesh: Mesh):
     )
     return state._replace(
         t=_put(state.t, rs), tc=_put(state.tc, rs),
-        qh=put_c(state.qh, ss), phih=put_c(state.phih, ss), d=d,
+        qh=put_c(state.qh), phih=put_c(state.phih), d=d,
         Ke=_put(state.Ke, rs), Pw=_put(state.Pw, rs), Kw=_put(state.Kw, rs),
     )
 

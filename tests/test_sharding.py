@@ -162,6 +162,10 @@ def test_coupled_mxu_mesh_equals_single(mesh):
         return m
 
     a, b = build(None), build(mesh)
+    # the mesh keeps the half-spectrum q side (row-sharded, since
+    # nx//2+1 never divides the mesh — see shard_wave_state)
+    assert a.kernel.q_half and b.kernel.q_half
+    assert b.state.qh.re.shape[-1] == b.nx // 2 + 1
     scale = np.abs(a.q).max()
     assert np.abs(a.q - b.q).max() < 1e-10 * scale
     assert np.abs(np.asarray(a.phi) - np.asarray(b.phi)).max() < 1e-10
