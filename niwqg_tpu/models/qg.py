@@ -28,7 +28,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..carray import C, mul_i
+from ..carray import C, mul_i, stack
 from ..etdrk4 import (build_coefs, linear_operator_c, linear_operator_q)
 from ..grid import Grid
 from ..ops.fft import make_transform
@@ -248,6 +248,33 @@ class QGKernel:
         return 0.5 * self.spec_var(ph * self.grid.wv)
 
     # -- one ETDRK4 step (``QGModel.py:328-408``) --------------------------
+    def _stage_rhs(self, ph: C, qh: C, ch: Optional[C]):
+        """One stage's nonlinear terms with BATCHED transforms.
+
+        Groups the reference's per-stage transforms — ``u``/``v`` from
+        ``ph`` (``QGModel.py:479``), ``q = ifft(qh)`` (``:480``), and the
+        scalar's ``c = ifft(ch)`` (``:494``) — into ONE inverse call, and
+        the Jacobian products ``fft(u*q), fft(v*q)(, fft(u*c), fft(v*c))``
+        (``:481,495``) into ONE forward call, so the matmul-DFT sees two
+        large batched matmuls per stage instead of 5–7 single-field calls
+        (same arithmetic per slice; the wave kernel already batches this
+        way, ``fast_kernel.py``)."""
+        g = self.grid
+        specs = [mul_i(ph, -g.l), mul_i(ph, g.k), qh]
+        if ch is not None:
+            specs.append(ch)
+        gb = self._bwd(stack(specs))
+        u, v, q = gb[0], gb[1], gb[2]
+        prods = [u * q, v * q]
+        if ch is not None:
+            c = gb[3]
+            prods += [u * c, v * c]
+        fj = self._fwd(jnp.stack(prods))
+        jac_q = mul_i(fj[0], g.k) + mul_i(fj[1], g.l)
+        jac_c = (mul_i(fj[2], g.k) + mul_i(fj[3], g.l)
+                 if ch is not None else None)
+        return jac_q, jac_c, u, v
+
     def step(self, s: QGState) -> QGState:
         pr = self.params
         cq = self.coefs_q
@@ -255,21 +282,15 @@ class QGKernel:
         dt = self._s(pr.dt)
         scalar = pr.passive_scalar
 
-        def q_jac(ph, qh):
-            u, v = self._velocities(ph)
-            q = self._bwd(qh)
-            return self._jacobian_hat(u, v, q), u, v
-
         # stage 1
         qh0, ch0 = s.qh, s.ch
-        jac, u, v = q_jac(s.ph, s.qh)
+        jac, jacc, u, v = self._stage_rhs(s.ph, s.qh, ch0 if scalar else None)
         Fn0 = -jac
         qh = (cq.expch_h * qh0 + Fn0 * cq.Qh) * flt
         qh1 = qh
         if scalar:
             cc = self.coefs_c
-            c = self._bwd(ch0)
-            Fn0c = -self._jacobian_hat(u, v, c)
+            Fn0c = -jacc
             ch = (cc.expch_h * ch0 + Fn0c * cc.Qh) * flt
             ch1 = ch
             c1 = self.ep_c_stage(ch)
@@ -279,46 +300,46 @@ class QGKernel:
         k1 = self.ep_psi(s.q, p, qh, ph, qh_q=s.qh)
 
         # stage 2
-        jac, u, v = q_jac(ph, qh)
+        jac, jacc, u, v = self._stage_rhs(ph, qh, ch if scalar else None)
         Fna = -jac
         qh = (cq.expch_h * qh0 + Fna * cq.Qh) * flt
         if scalar:
-            cphys = self._bwd(ch)
-            Fnac = -self._jacobian_hat(u, v, cphys)
+            Fnac = -jacc
             ch = (cc.expch_h * ch0 + Fnac * cc.Qh) * flt
             c2 = self.ep_c_stage(ch)
         ph, p = self._invert_stage(qh)
         k2 = self.ep_psi(s.q, p, qh, ph, qh_q=s.qh)
 
         # stage 3
-        jac, u, v = q_jac(ph, qh)
+        jac, jacc, u, v = self._stage_rhs(ph, qh, ch if scalar else None)
         Fnb = -jac
         qh = (cq.expch_h * qh1 + (2.0 * Fnb - Fn0) * cq.Qh) * flt
         if scalar:
-            cphys = self._bwd(ch)
-            Fnbc = -self._jacobian_hat(u, v, cphys)
+            Fnbc = -jacc
             ch = (cc.expch_h * ch1 + (2.0 * Fnbc - Fn0c) * cc.Qh) * flt
             c3 = self.ep_c_stage(ch)
         ph, p = self._invert_stage(qh)
         k3 = self.ep_psi(s.q, p, qh, ph, qh_q=s.qh)
 
         # stage 4 + final combination
-        jac, u, v = q_jac(ph, qh)
+        jac, jacc, u, v = self._stage_rhs(ph, qh, ch if scalar else None)
         Fnc = -jac
         qh = (cq.expch * qh0 + Fn0 * cq.f0 + 2.0 * (Fna + Fnb) * cq.fab
               + Fnc * cq.fc) * flt
         cvar = s.cvar
         if scalar:
-            cphys = self._bwd(ch)
-            Fncc = -self._jacobian_hat(u, v, cphys)
+            Fncc = -jacc
             ch = (cc.expch * ch0 + Fn0c * cc.f0 + 2.0 * (Fnac + Fnbc) * cc.fab
                   + Fncc * cc.fc) * flt
             c4 = self.ep_c_stage(ch)
             cvar = s.cvar + dt * (c1 + 2.0 * (c2 + c3) + c4) / 6.0
 
-        ph, p = self._invert(qh)
-        q = self._bwd(qh)
-        cphys = self._bwd(ch) if scalar else s.c
+        # final inversion + physical fields (one batched inverse call)
+        ph = -(qh * self.grid.wv2i)
+        finals = [ph, qh] + ([ch] if scalar else [])
+        fb = self._bwd(stack(finals))
+        p, q = fb[0], fb[1]
+        cphys = fb[2] if scalar else s.c
         k4 = self.ep_psi(q, p, qh, ph)
         Ke = s.Ke + dt * (k1 + 2.0 * (k2 + k3) + k4) / 6.0
 
