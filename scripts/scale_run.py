@@ -22,6 +22,13 @@ import numpy as np
 def main():
     import jax
 
+    if jax.default_backend() in ("cpu",) and \
+            os.environ.get("NIWQG_SCALE_F32", "0") == "0":
+        # the CPU path is the f64 control; without this flag jax silently
+        # truncates every requested f64 to f32 (which is its own useful
+        # mode: NIWQG_SCALE_F32=1 = native-FFT f32 control)
+        jax.config.update("jax_enable_x64", True)
+
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     from niwqg_tpu import CoupledModel
     from niwqg_tpu import InitialConditions as ic
@@ -91,12 +98,17 @@ def main():
         print(f"step {(i+1)*chunk:4d}: Ke={Ke:.5e} (inst {ke_inst:.5e}) "
               f"Kw={Kw:.5e} Pw={Pw:.3e} worst_closure={rel:.2e} "
               f"[{time.time()-t0:.0f}s]", flush=True)
+        if not np.isfinite(rel):
+            print(f"NON-FINITE at step <= {(i+1)*chunk}", flush=True)
+            break
     wall = time.time() - t0
     pts = nx * nx * nsteps / wall
     print(f"\n{nx}^2 x {nsteps} steps in {wall:.0f}s "
           f"({nsteps/wall:.2f} steps/s, {pts/1e6:.1f}M grid-pt-steps/s, "
           f"{pts/ (20.0*128*128):.0f}x baseline)")
-    worst = max(closures)
+    # NaN-proof: max() would silently drop NaNs (they compare False)
+    worst = float(np.max(closures)) if np.all(np.isfinite(closures)) \
+        else float("nan")
     if use_filter:
         # filter dissipation is untracked by the budget (reference
         # behaviour too): stability-only criterion
