@@ -306,6 +306,7 @@ class MXUTransform:
     def __init__(self, nx: int, dtype=np.float32, precision: str = "auto",
                  factors="auto", half_factors="auto", evenodd="auto",
                  gauss="auto", formulation: str = "dotgen",
+                 max_batch="auto",
                  use_pallas: bool = False, pallas_interpret: bool = False):
         self.nx = nx
         self.dtype = np.dtype(dtype)
@@ -351,6 +352,19 @@ class MXUTransform:
             gauss = self.dtype == np.float32
         self.gauss = bool(gauss) and not self.use_pallas
         self.pallas_interpret = pallas_interpret
+        # split leading-batch transforms into chunks of <= max_batch slices
+        # (0 = off). On the target backend the effective bandwidth decays
+        # superlinearly with an op's working-set size (PERFORMANCE.md
+        # roofline section), so per-field transforms beat the stacked
+        # batch at EVERY size at the full-step level (same-process A/Bs,
+        # sweep_r3a/b: coupled 2048² 22.5->29.1 steps/s, 4096² 3.30->4.26,
+        # QG 2048² 43.6->56.3; identical Ke) — the round-2 "batch the
+        # stages" lesson holds for grouping the ELEMENTWISE prep, but the
+        # transform matmuls themselves pipeline better one field at a
+        # time. 'auto' = 1 on the f32 (TPU) path, off for f64 parity runs.
+        if max_batch == "auto":
+            max_batch = 1 if self.dtype == np.float32 else 0
+        self.max_batch = int(max_batch)
 
         self._cdft = _CDFT(self, nx, self.factors)
 
@@ -487,12 +501,46 @@ class MXUTransform:
     def _dft_last(self, z: C, inverse: bool) -> C:
         return self._cdft.along(z, inverse, axis=-1)
 
+    # -- batch splitting (see max_batch in __init__) -------------------------
+    def _split_c(self, fn, z: C) -> C:
+        mb = self.max_batch
+        if not mb or z.re.ndim < 3 or z.re.shape[0] <= mb:
+            return fn(z)
+        outs = [fn(C(z.re[i:i + mb], z.im[i:i + mb]))
+                for i in range(0, z.re.shape[0], mb)]
+        return C(jnp.concatenate([o.re for o in outs]),
+                 jnp.concatenate([o.im for o in outs]))
+
+    def _split_in_r(self, fn, x):
+        """Real input -> C output."""
+        mb = self.max_batch
+        if not mb or x.ndim < 3 or x.shape[0] <= mb:
+            return fn(x)
+        outs = [fn(x[i:i + mb]) for i in range(0, x.shape[0], mb)]
+        return C(jnp.concatenate([o.re for o in outs]),
+                 jnp.concatenate([o.im for o in outs]))
+
+    def _split_out_r(self, fn, zh: C):
+        """C input -> real output."""
+        mb = self.max_batch
+        if not mb or zh.re.ndim < 3 or zh.re.shape[0] <= mb:
+            return fn(zh)
+        return jnp.concatenate(
+            [fn(C(zh.re[i:i + mb], zh.im[i:i + mb]))
+             for i in range(0, zh.re.shape[0], mb)])
+
     # -- public API --------------------------------------------------------
     def fft2(self, z: C) -> C:
+        return self._split_c(self._fft2_one, z)
+
+    def _fft2_one(self, z: C) -> C:
         z = self._cdft.along(z, inverse=False, axis=-1)   # along x
         return self._cdft.along(z, inverse=False, axis=-2)  # along y
 
     def ifft2(self, zh: C) -> C:
+        return self._split_c(self._ifft2_one, zh)
+
+    def _ifft2_one(self, zh: C) -> C:
         zh = self._cdft.along(zh, inverse=True, axis=-1)
         return self._cdft.along(zh, inverse=True, axis=-2)
 
@@ -567,6 +615,9 @@ class MXUTransform:
 
     # -- half-spectrum 2-D API ---------------------------------------------
     def rfft2(self, x) -> C:
+        return self._split_in_r(self._rfft2_one, x)
+
+    def _rfft2_one(self, x) -> C:
         # pass 1: real DFT along x keeping nk columns
         if self.evenodd:
             z = self._rdft_last_evenodd(x)
@@ -577,6 +628,9 @@ class MXUTransform:
         return self._cdft.along(z, inverse=False, axis=-2)
 
     def irfft2(self, zh: C):
+        return self._split_out_r(self._irfft2_one, zh)
+
+    def _irfft2_one(self, zh: C):
         # pass 1: inverse complex DFT along y
         z = self._cdft.along(zh, inverse=True, axis=-2)
         # pass 2: real reconstruction along x

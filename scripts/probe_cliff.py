@@ -107,11 +107,14 @@ def main():
 
     timed("eo-pack-unpack-4096", chainer(pack_unpack, 30), x0, 30)
 
-    # B2: half-length complex 1-D DFT pass (x axis), (B,n,nh)
+    # B2: half-length complex 1-D DFT pass (x axis), (B,n,nh) — chained as
+    # fwd+inv roundtrips so magnitudes stay O(1); halve the reported
+    # ms/iter for the single-pass cost
     def half_dft(z):
-        return tr._cdft_half(z, inverse=False) * 0.9999
+        return tr._cdft_half(tr._cdft_half(z, inverse=False),
+                             inverse=True) * 0.9999
 
-    timed("eo-halfdft-x-4096", chainer(half_dft, 30), zc0, 30)
+    timed("eo-halfdft-xrt-4096", chainer(half_dft, 30), zc0, 30)
 
     # B3: reflect/butterfly (elementwise + flip/roll + concat)
     from niwqg_tpu.carray import jmul
@@ -129,26 +132,29 @@ def main():
 
     timed("eo-butterfly-4096", chainer(butterfly, 30), zc0, 30)
 
-    # B4: y-pass complex DFT on the half-spectrum column count (nk=2049)
+    # B4: y-pass complex DFT roundtrip on the half-spectrum column count
+    # (nk=2049); halve ms/iter for the single-pass cost
     def ypass_nk(z):
-        return tr._cdft.along(z, inverse=False, axis=-2) * 0.9999
+        a = tr._cdft.along(z, inverse=False, axis=-2)
+        return tr._cdft.along(a, inverse=True, axis=-2) * 0.9999
 
-    timed("ypass-nk2049-4096", chainer(ypass_nk, 15), zk0, 15)
+    timed("ypass-rt-nk2049-4096", chainer(ypass_nk, 15), zk0, 15)
 
-    # B5: same y-pass on an even 2048-column block (padding control)
+    # B5: same y-pass roundtrip on an even 2048-column block
     zk2 = C(zk0.re[..., :nh], zk0.im[..., :nh])
-    timed("ypass-nk2048-4096", chainer(ypass_nk, 15), zk2, 15)
+    timed("ypass-rt-nk2048-4096", chainer(ypass_nk, 15), zk2, 15)
 
-    # B6: full-width y-pass control (the complex fft2's second pass)
+    # B6: full-width y-pass roundtrip (the complex fft2's second pass)
     zkf = C(jnp.asarray(rng.standard_normal((B, n, n)).astype(np.float32)),
             jnp.asarray(rng.standard_normal((B, n, n)).astype(np.float32)))
-    timed("ypass-nk4096-4096", chainer(ypass_nk, 15), zkf, 15)
+    timed("ypass-rt-nk4096-4096", chainer(ypass_nk, 15), zkf, 15)
 
-    # B7: x-pass on full width (control: the complex fft2's first pass)
+    # B7: x-pass roundtrip on full width
     def xpass(z):
-        return tr._cdft.along(z, inverse=False, axis=-1) * 0.9999
+        a = tr._cdft.along(z, inverse=False, axis=-1)
+        return tr._cdft.along(a, inverse=True, axis=-1) * 0.9999
 
-    timed("xpass-4096", chainer(xpass, 15), zkf, 15)
+    timed("xpass-rt-4096", chainer(xpass, 15), zkf, 15)
 
     # B8: real roundtrip with evenodd OFF but four-step half tables off too
     #     (dedicated dense rfft matrices) — is dense-real faster here?
