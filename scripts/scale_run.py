@@ -54,6 +54,18 @@ def main():
     k0 = 10 * (2 * np.pi / L)
     Te = (U0 * k0) ** -1
     dt = 0.025 * Te
+    # the fixed dt above violates the advective CFL at large nx (the
+    # dominant speed is the NIW amplitude |phi| ~ 2*sqrt(2)*U0/sqrt(2) =
+    # 0.28 m/s; at 4096² dx = 307 m so CFL = 4.6 — guaranteed blow-up
+    # with or without the filter). NIWQG_SCALE_CFL rescales dt to the
+    # requested advective CFL for production-configuration runs.
+    cfl_target = float(os.environ.get("NIWQG_SCALE_CFL", "0"))
+    if cfl_target > 0:
+        vmax = 2 * np.sqrt(2) * U0 / np.sqrt(2)  # |phi| of the IC below
+        dx = L / nx
+        dt = cfl_target * dx / vmax
+        print(f"CFL-scaled dt = {dt:.1f}s (target CFL {cfl_target})",
+              flush=True)
     # resolution-appropriate dissipation, scaled from the stable flagship
     # 128² example (examples/LambDipole.py: nu4=5e11, nu=20, nuw=50):
     # hyperviscosity ~ dx^3, Laplacian viscosities ~ dx^2. The previous
@@ -62,6 +74,16 @@ def main():
     # a parameter instability, not a solver property.
     s = 128.0 / nx
     nu4 = 5e11 * s**3
+    # production (filter-ON) runs add the flagship example's wave
+    # hyperviscosity, resolution-scaled (examples/LambDipole.py runs
+    # nu4=nu4w=5e11 at 128² and is long-horizon stable). The closure
+    # (filter-OFF) config keeps nu4w=0: with an energetic uniform NIW
+    # field the wave cascade then sharpens until blow-up at ANY
+    # precision — measured NaN at step ~150 in f64 at 512² and 1024²,
+    # the control for the round-2 4096² f32 NaN; even filter-ON cannot
+    # arrest it without interior wave damping (f64 512² CFL-safe run
+    # went non-finite at step ~350).
+    nu4w = 5e11 * s**3 if use_filter else 0.0
 
     # filter OFF so the budget is exactly closed (the exponential filter's
     # dissipation is untracked by the budget, in the reference too); the
@@ -69,7 +91,7 @@ def main():
     # closure remains exact
     m = CoupledModel.Model(
         L=L, nx=nx, tmax=nsteps * dt, dt=dt, m=2 * np.pi / 280, N=0.01,
-        f=1e-4, nu4=nu4, nu4w=0, nu=20.0 * s**2, nuw=50.0 * s**2,
+        f=1e-4, nu4=nu4, nu4w=nu4w, nu=20.0 * s**2, nuw=50.0 * s**2,
         use_filter=use_filter, U=-U0, tdiags=nsteps + 1,
         precision=precision, **extra,
     )
