@@ -402,13 +402,24 @@ class _ModelBase:
             for m in strides:
                 # next post-step multiple of m strictly after tc0
                 n = min(n, (tc0 // m + 1) * m - tc0)
-            state, dvals = self._chunk_with_diags(n)(self.state)
-            self.state = state
-            dvals = jax.device_get(dvals)
-            for i in range(n):
-                if (tc0 + i) % p.tdiags == 0:
-                    self._diag_acc.append(
-                        {k: v[i] for k, v in dvals.items()})
+            # decompose the gap into power-of-two pieces: every distinct
+            # scan length is a separate XLA module (30-100 s compile on
+            # the target backend), so arbitrary gap lengths would compile
+            # per cadence layout; power-of-two pieces bound the compiled
+            # set to ~log2(gap) sizes reused across all gaps. Diagnostics
+            # sampling is pre-step-counter-based inside the scan, so
+            # piece boundaries cannot change its semantics.
+            off = 0
+            while off < n:
+                piece = 1 << ((n - off).bit_length() - 1)
+                state, dvals = self._chunk_with_diags(piece)(self.state)
+                self.state = state
+                dvals = jax.device_get(dvals)
+                for i in range(piece):
+                    if (tc0 + off + i) % p.tdiags == 0:
+                        self._diag_acc.append(
+                            {k: v[i] for k, v in dvals.items()})
+                off += piece
             done += n
             tc_now = tc0 + n
             if tc_now % p.twrite == 0:
