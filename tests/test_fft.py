@@ -106,6 +106,29 @@ class TestMXUTransform:
         want = np.fft.fft2(batch, axes=(-2, -1))
         assert np.abs(got - want).max() / np.abs(want).max() < 1e-12
 
+    def test_max_batch_split_is_bitwise_identical(self):
+        """max_batch (the f32 TPU default: per-field transform issue,
+        PERFORMANCE.md round-3) must be a pure scheduling change: every
+        public entry point's output is bitwise identical to the stacked
+        batch, for batch sizes that do and don't divide the chunk."""
+        a = MXUTransform(self.nx, np.float64, max_batch=0)
+        b = MXUTransform(self.nx, np.float64, max_batch=2)
+        batch = np.stack([self.z, 2 * self.z, self.z.conj()])
+        zc = C.from_complex(batch)
+        for fn in ("fft2", "ifft2"):
+            ra, rb = getattr(a, fn)(zc), getattr(b, fn)(zc)
+            assert np.array_equal(np.asarray(ra.re), np.asarray(rb.re)), fn
+            assert np.array_equal(np.asarray(ra.im), np.asarray(rb.im)), fn
+        xr = np.stack([self.x, 2 * self.x, self.x * self.x])
+        ra, rb = a.rfft2(xr), b.rfft2(xr)
+        assert np.array_equal(np.asarray(ra.re), np.asarray(rb.re))
+        assert np.array_equal(np.asarray(a.irfft2(ra)),
+                              np.asarray(b.irfft2(ra)))
+        # unbatched (2-D) inputs bypass the splitter entirely
+        one = C.from_complex(self.z)
+        assert np.array_equal(np.asarray(a.fft2(one).re),
+                              np.asarray(b.fft2(one).re))
+
     def test_fft2_real_matches_full(self):
         """fft2_real routes through rfft2 + Hermitian expansion; must equal
         the full transform of the real field."""
