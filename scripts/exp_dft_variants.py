@@ -35,6 +35,7 @@ BATCH = int(os.environ.get("EXP_BATCH", "4"))
 REPS = int(os.environ.get("EXP_REPS", "3"))
 CHAIN = int(os.environ.get("EXP_CHAIN", "50"))
 N1 = int(os.environ.get("EXP_N1", "128"))
+ONLY = os.environ.get("EXP_ONLY", "")  # comma-separated variant letters
 
 
 def main():
@@ -198,34 +199,43 @@ def main():
         print(f"RESULT {label}: {ms:.3f} ms/slice  (compile {compile_s:.0f}s)",
               flush=True)
 
+    def wanted(v):
+        return not ONLY or v in ONLY.split(",")
+
     # ---- A: control ---------------------------------------------------
     tr = MXUTransform(n, np.float32)  # default: 'high' + gauss + four-step
     diag = jnp.asarray(diag_np)
 
+    # NOTE: the diagonal tables ride the scan carry, not the closure — a
+    # closed-over (n,n) constant is serialized into the remote-compile
+    # request and crashes/overflows it at 4096 (observed).
     def rt_A(state):
         def body(c, _):
-            zh = tr.fft2(C(c[0], c[1]))
-            zh = C(zh.re * diag, zh.im * diag)
+            zr_, zi_, d = c
+            zh = tr.fft2(C(zr_, zi_))
+            zh = C(zh.re * d, zh.im * d)
             z = tr.ifft2(zh)
-            return (z.re, z.im), None
+            return (z.re, z.im, d), None
         return lax.scan(body, state, None, length=CHAIN)[0]
 
-    zh0 = tr.fft2(C(zr, zi))
-    print(f"accuracy A: {relerr(zh0.re, zh0.im, ref):.2e}", flush=True)
-    timed("A-control", jax.jit(rt_A), (zr, zi))
+    if wanted("A"):
+        zh0 = tr.fft2(C(zr, zi))
+        print(f"accuracy A: {relerr(zh0.re, zh0.im, ref):.2e}", flush=True)
+        timed("A-control", jax.jit(rt_A), (zr, zi, diag))
 
     # ---- B: canonical-boundary chain ----------------------------------
     def rt_B(state):
         def body(c, _):
             hr, hi = fft2_B(c[0], c[1], M1f, M2f, Tf)
-            hr, hi = hr * diag, hi * diag
+            hr, hi = hr * c[2], hi * c[2]
             gr, gi = fft2_B(hr, hi, M1i, M2i, Ti)
-            return (gr, gi), None
+            return (gr, gi, c[2]), None
         return lax.scan(body, state, None, length=CHAIN)[0]
 
-    hr, hi = fft2_B(zr, zi, M1f, M2f, Tf)
-    print(f"accuracy B: {relerr(hr, hi, ref):.2e}", flush=True)
-    timed("B-chain", jax.jit(rt_B), (zr, zi))
+    if wanted("B"):
+        hr, hi = fft2_B(zr, zi, M1f, M2f, Tf)
+        print(f"accuracy B: {relerr(hr, hi, ref):.2e}", flush=True)
+        timed("B-chain", jax.jit(rt_B), (zr, zi, diag))
 
     # ---- C: fully permuted layout -------------------------------------
     # permute the diagonal table into S layout once (host-side relabeling)
@@ -246,17 +256,18 @@ def main():
     def rt_C(state):
         def body(c, _):
             hr, hi = fwd_C(c[0], c[1])
-            hr, hi = hr * diag_S, hi * diag_S
+            hr, hi = hr * c[2], hi * c[2]
             gr, gi = inv_C(hr, hi)
-            return (gr, gi), None
+            return (gr, gi, c[2]), None
         return lax.scan(body, state, None, length=CHAIN)[0]
 
-    # accuracy: fwd_C of permuted input vs ref gathered into S layout
-    pr, pi = to_P(zr), to_P(zi)
-    sr, si = fwd_C(pr, pi)
-    ref_S = ref[:, (k2y_ * n1 + k1y_), (k2x_ * n1 + k1x_)]
-    print(f"accuracy C: {relerr(sr, si, ref_S):.2e}", flush=True)
-    timed("C-permuted", jax.jit(rt_C), (pr, pi))
+    if wanted("C"):
+        # accuracy: fwd_C of permuted input vs ref gathered into S layout
+        pr, pi = to_P(zr), to_P(zi)
+        sr, si = fwd_C(pr, pi)
+        ref_S = ref[:, (k2y_ * n1 + k1y_), (k2x_ * n1 + k1x_)]
+        print(f"accuracy C: {relerr(sr, si, ref_S):.2e}", flush=True)
+        timed("C-permuted", jax.jit(rt_C), (pr, pi, diag_S))
 
     print("SUMMARY", {k: round(v, 3) for k, v in results.items()}, flush=True)
 
