@@ -104,8 +104,11 @@ def main():
     run = m._chunk(chunk)
     closures = []
     state = m.state
+    t_first = None
     for i in range(nsteps // chunk):
         state = run(state)
+        if t_first is None:
+            t_first = time.time()  # end of the compile-bearing first chunk
         ke_inst = float(np.asarray(K.ke_qg(state.d.ph)))
         kw_inst = float(np.asarray(K.ke_niw(state.d.phi)))
         pw_inst = float(np.asarray(K.pe_niw(state.phih)))
@@ -128,6 +131,13 @@ def main():
     print(f"\n{nx}^2 x {nsteps} steps in {wall:.0f}s "
           f"({nsteps/wall:.2f} steps/s, {pts/1e6:.1f}M grid-pt-steps/s, "
           f"{pts/ (20.0*128*128):.0f}x baseline)")
+    nsteady = len(closures) * chunk - chunk
+    if t_first is not None and nsteady > 0:
+        sw = time.time() - t_first
+        spts = nx * nx * nsteady / sw
+        print(f"steady-state (excl. first compile-bearing chunk): "
+              f"{nsteady/sw:.2f} steps/s, {spts/1e6:.1f}M grid-pt-steps/s, "
+              f"{spts/(20.0*128*128):.0f}x baseline")
     # NaN-proof: max() would silently drop NaNs (they compare False)
     worst = float(np.max(closures)) if np.all(np.isfinite(closures)) \
         else float("nan")
