@@ -172,6 +172,34 @@ def test_coupled_mxu_mesh_equals_single(mesh):
     assert abs(a.Ke - b.Ke) < 1e-10 * abs(a.Ke)
 
 
+def test_ql_mxu_mesh_equals_single(mesh):
+    """Quasilinear model under the GSPMD mesh (q_half auto-disables: QL
+    keeps ph unprojected, so the q side must stay full-spectrum)."""
+    from niwqg_tpu import QLModel
+
+    def build(mesh):
+        U0 = 0.05
+        m = QLModel.Model(use_filter=False, U=-U0, tdiags=1,
+                          tmax=3 * 10000.0, mesh=mesh, backend="mxu",
+                          dtype=np.float64, fast=True,
+                          faithful_quirks=True)
+        k0 = 10 * (2 * np.pi / m.L)
+        q = ic.LambDipole(m, U=U0, R=2 * np.pi / k0)
+        m.set_q(q)
+        m.set_phi(np.asarray(ic.WavePacket(m, k=2 * k0, l=0,
+                                           R=2 * np.pi / k0,
+                                           x0=m.L / 2, y0=m.L / 2)))
+        m.run()
+        return m
+
+    a, b = build(None), build(mesh)
+    assert not a.kernel.q_half and not b.kernel.q_half
+    scale = np.abs(a.q).max()
+    assert np.abs(a.q - b.q).max() < 1e-10 * scale
+    assert np.abs(np.asarray(a.phi) - np.asarray(b.phi)).max() < 1e-10
+    assert abs(a.Ke - b.Ke) < 1e-10 * (abs(a.Ke) + 1e-300)
+
+
 def test_qg_mxu_mesh_equals_single(mesh):
     """MXU provider under a mesh keeps the half-spectrum layout (rfft_pad
     is 0: GSPMD pads internally, no grid padding needed)."""
