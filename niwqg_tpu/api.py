@@ -465,6 +465,22 @@ class _ModelBase:
     def _print_status(self):
         raise NotImplementedError
 
+    def isotropic_spectrum(self, field):
+        """pyspec-style power spectrum of a model field: 2-D PSD plus its
+        azimuthal ring integral (what the reference examples import the
+        external ``pyspec`` package for, ``examples/LambDipole.py:159-171``).
+
+        ``field`` is a physical-space array or the name of a model
+        attribute (e.g. ``'q'``, ``'phi'``, ``'p'``). Returns a
+        :class:`~niwqg_tpu.utils.spectrum.TwoDimensionalSpec`.
+        """
+        from .utils.spectrum import spectrum_2d
+
+        if isinstance(field, str):
+            field = getattr(self, field)
+        dx = self.kernel.grid.dx
+        return spectrum_2d(np.asarray(field), dx, dx)
+
     # checkpointing (beyond-reference capability)
     def save_checkpoint(self, path: str):
         from .io import save_checkpoint

@@ -17,6 +17,22 @@ def test_isotropic_spectrum_peak():
     assert abs(s.ki[np.argmax(s.ispec)] - k0) <= 1.0
 
 
+def test_model_isotropic_spectrum_method():
+    """The model-surface ``isotropic_spectrum`` (the pyspec replacement,
+    reference ``examples/LambDipole.py:159-171``) accepts field names and
+    arrays and peaks at the injected wavenumber."""
+    from niwqg_tpu import InitialConditions as ic
+
+    m = CoupledModel.Model(use_filter=False, tmax=10000.0,
+                           save_to_disk=False)
+    k0 = 10 * (2 * np.pi / m.L)
+    m.set_q(np.asarray(ic.LambDipole(m, U=0.05, R=2 * np.pi / k0)))
+    sp = m.isotropic_spectrum("q")
+    assert np.all(np.isfinite(sp.ispec)) and sp.ispec.max() > 0
+    sp2 = m.isotropic_spectrum(np.real(ic.PlaneWave(m, k=3 * k0, l=0)))
+    assert abs(sp2.ki[np.argmax(sp2.ispec)] / k0 - 3.0) < 0.2
+
+
 def test_parseval_ring_sum():
     """Ring-integrated spectrum integrates to the field variance."""
     rng = np.random.default_rng(5)
