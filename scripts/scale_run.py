@@ -84,6 +84,9 @@ def main():
     # arrest it without interior wave damping (f64 512² CFL-safe run
     # went non-finite at step ~350).
     nu4w = 5e11 * s**3 if use_filter else 0.0
+    # dissipation margin for long-horizon production runs
+    # (NIWQG_SCALE_NU4W_MULT=4 etc.)
+    nu4w *= float(os.environ.get("NIWQG_SCALE_NU4W_MULT", "1"))
 
     # filter OFF so the budget is exactly closed (the exponential filter's
     # dissipation is untracked by the budget, in the reference too); the
