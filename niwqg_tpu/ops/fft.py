@@ -23,15 +23,34 @@ re/im pairs with arbitrary leading batch axes ``(..., ny, nx)``:
     times) and ``'split3'`` (6 matmuls, ~f32).
 
 Real-field transforms (``rfft2``/``irfft2`` and the full-spectrum
-``fft2_real``/``ifft2_real``) exploit realness *within a single field* via
-the classic even/odd split — pack ``x[0::2] + i*x[1::2]`` into one
-half-length complex DFT and recombine with an exact butterfly. This halves
-the transform work like the two-for-one pair-packing trick, but with NO
-cross-field crosstalk: at the split-precision noise floor (~1e-5), packing
-two *different* fields leaks ``eps*||big||`` into the small field's
+``fft2_real``/``ifft2_real``) exploit realness *within a single field*,
+never by packing two different fields (at the split-precision noise floor
+~1e-5, cross-field packing leaks ``eps*||big||`` into the small field's
 spectrum, which the wavenumber factors (k², for the wave-PV term) amplify
-into an f32-at-scale instability (the round-1 4096² NaN). The even/odd
-butterfly only ever mixes a field with itself.
+into an f32-at-scale instability — the round-1 4096² NaN). Two same-field
+schemes, selected by ``realpath``:
+
+``'evenodd'``
+    classic even/odd split — pack ``x[0::2] + i*x[1::2]`` into one
+    half-length complex DFT and recombine with an exact butterfly.
+    Halves the MACs, but its strided gather, reflect/roll butterfly and
+    interleave are pure layout traffic that runs at the backend's
+    degraded large-buffer bandwidth (2–4 GB/s on 4096²-sized buffers —
+    PERFORMANCE.md roofline), inverting its advantage at 4096.
+
+``'mf'`` (mirror-free)
+    fold the Hermitian mirror into the four-step's constant tables
+    instead of materialising it: the forward x-pass restricts the
+    stage-2 DFT table to the ``k2 <= n2/2`` output columns (the rest are
+    conjugate mirrors); the inverse x-pass contracts only the retained
+    ``m < nx/2`` input columns against half-row tables and takes
+    ``2*Re(.)`` at the end (the mirror half of the true sum is exactly
+    the conjugate of the retained half), plus O(ny) endpoint-column
+    corrections. Slightly more MACs than even/odd (the half-range tables
+    don't halve both stages) but ZERO strided gathers/flips/interleaves
+    — every permutation lands in a constant table. Same implicit
+    Hermitian projection semantics: ``Re(.)`` annihilates anti-Hermitian
+    residue in the self-mirror columns exactly as ``real(ifft(.))`` does.
 """
 
 from __future__ import annotations
@@ -306,7 +325,7 @@ class MXUTransform:
     def __init__(self, nx: int, dtype=np.float32, precision: str = "auto",
                  factors="auto", half_factors="auto", evenodd="auto",
                  gauss="auto", formulation: str = "dotgen",
-                 max_batch="auto",
+                 max_batch="auto", realpath: str = "auto",
                  use_pallas: bool = False, pallas_interpret: bool = False):
         self.nx = nx
         self.dtype = np.dtype(dtype)
@@ -377,7 +396,28 @@ class MXUTransform:
             # four-step; below that the dedicated dense rfft matrices have
             # the same FLOPs with fewer elementwise ops
             evenodd = nx % 2 == 0 and half_factors is not None
-        self.evenodd = bool(evenodd) and nx % 2 == 0
+        mf_ok = (nx % 2 == 0 and self.factors is not None
+                 and self.factors[0] % 2 == 0 and self.factors[1] % 2 == 0)
+        if realpath == "auto":
+            # mirror-free wins where the even/odd path's layout ops run at
+            # the degraded large-buffer bandwidth (PERFORMANCE.md); the
+            # crossover measured at 4096 on the target backend
+            if mf_ok and self.dtype == np.float32 and nx >= 4096:
+                realpath = "mf"
+            else:
+                realpath = "evenodd" if (bool(evenodd) and nx % 2 == 0) \
+                    else "dense"
+        if realpath == "mf" and not mf_ok:
+            raise ValueError(
+                f"realpath='mf' needs an even-factor four-step at nx={nx} "
+                f"(factors={self.factors})")
+        assert realpath in ("mf", "evenodd", "dense"), realpath
+        if realpath == "evenodd" and nx % 2:
+            realpath = "dense"
+        self.realpath = realpath
+        if realpath == "mf":
+            self._init_mf_tables()
+        self.evenodd = realpath == "evenodd"
         if self.evenodd:
             nh = nx // 2
             self._cdft_half = _CDFT(self, nh, half_factors)
@@ -391,7 +431,7 @@ class MXUTransform:
         # only nk = nx//2+1 columns; inverse reconstructs the real signal
         # with Hermitian weights w = [1, 2, ..., 2, 1] folded in. Used when
         # the even/odd path is off (small or odd nx).
-        if not self.evenodd:
+        if self.realpath == "dense":
             a = np.arange(nx)
             F = np.exp(-2j * np.pi * np.outer(a, a) / nx)
             nk = self.nk_half
@@ -414,6 +454,86 @@ class MXUTransform:
             "M2": self._cconst(M2.real, M2.imag),
             "T": C.from_complex(T, dtype=self.dtype),
         }
+
+    def _init_mf_tables(self):
+        """Half-range four-step tables for the mirror-free real path.
+
+        Forward (real x -> nk columns): stage 1 is a full (n1 x n1) DFT of
+        a REAL input (2 plain matmuls — no Gauss form needed), stage 2
+        keeps only the ``k2 <= n2/2`` output columns; the flattened
+        ``k = k2*n1 + k1`` output is then sliced to ``nk = nx/2+1``
+        (~``(n1-1)/nx`` wasted MACs, no gather).
+
+        Inverse (nk columns -> real x): only the retained ``m < nx/2``
+        input columns are contracted — stage 1 uses the first n1/2 rows of
+        the inverse DFT table — and the final stage computes the REAL
+        plane only, with the mirror half's contribution folded as a 2x
+        scale (the mirror sum is exactly the conjugate of the retained
+        sum). Endpoint columns m=0 and m=nx/2 are rank-1 corrections.
+        """
+        nx = self.nx
+        n1, n2 = self.factors
+        i1 = np.arange(n1)
+        i2 = np.arange(n2)
+        M1f = np.exp(-2j * np.pi * np.outer(i1, i1) / n1)
+        Tf = np.exp(-2j * np.pi * np.outer(i2, i1) / nx)      # (x2, k1)
+        M2f = np.exp(-2j * np.pi * np.outer(i2, i2) / n2)[:, :n2 // 2 + 1]
+        self._mf_fwd = {
+            "M1": (self._const(M1f.real), self._const(M1f.imag)),
+            "T": C.from_complex(Tf, dtype=self.dtype),
+            "M2": self._cconst(M2f.real, M2f.imag),
+        }
+        M1i = np.exp(2j * np.pi * np.outer(i1[: n1 // 2], i1) / n1)
+        Ti = np.exp(2j * np.pi * np.outer(i2, i1) / nx)       # (m_b, x_a)
+        M2i = np.exp(2j * np.pi * np.outer(i2, i2) / n2) * (2.0 / nx)
+        self._mf_inv = {
+            "M1": self._cconst(M1i.real, M1i.imag),
+            "T": C.from_complex(Ti, dtype=self.dtype),
+            "M2": (self._const(M2i.real), self._const(M2i.imag)),
+        }
+        alt = np.where(np.arange(nx) % 2 == 0, 1.0, -1.0) / nx
+        self._mf_alt = jnp.asarray(alt.astype(self.dtype))
+
+    # -- mirror-free real 1-D passes ----------------------------------------
+    def _rdft_last_mf(self, x) -> C:
+        """Real DFT along the last axis keeping nk = nx//2+1 columns via
+        half-output-range four-step tables (zero strided layout ops)."""
+        n1, n2 = self.factors
+        lead = x.shape[:-1]
+        xr = x.reshape(lead + (n1, n2))
+        dn = (((xr.ndim - 2,), (0,)), ((), ()))
+        M1r, M1i = self._mf_fwd["M1"]
+        s = C(self._mm(xr, M1r, dn), self._mm(xr, M1i, dn))  # (..., x2, k1)
+        s = s * self._mf_fwd["T"]
+        a = self._cdot(s, self._mf_fwd["M2"], -2)            # (..., k1, k2h)
+        nd = a.re.ndim
+        perm = tuple(range(nd - 2)) + (nd - 1, nd - 2)
+        nkk = (n2 // 2 + 1) * n1
+        return _cmap(lambda t: t.transpose(perm).reshape(lead + (nkk,))
+                     [..., :self.nk_half], a)
+
+    def _irdft_last_mf(self, z: C):
+        """Inverse of :meth:`_rdft_last_mf`: half-spectrum rows (..., nk)
+        -> real (..., nx), as ``2*Re(four-step over the m < nx/2 columns)``
+        plus endpoint corrections. Anti-Hermitian residue in the
+        self-mirror columns m=0 and m=nx/2 is annihilated by the ``Re``,
+        matching ``real(ifft(.))`` semantics."""
+        n1, n2 = self.factors
+        nh = self.nx // 2
+        lead = z.re.shape[:-1]
+        body = _cmap(lambda t: t[..., :nh].reshape(lead + (n1 // 2, n2)), z)
+        a = self._cdot(body, self._mf_inv["M1"], -2)         # (..., m_b, x_a)
+        a = a * self._mf_inv["T"]
+        M2r, M2i = self._mf_inv["M2"]
+        dn = (((a.re.ndim - 2,), (0,)), ((), ()))
+        out = self._mm(a.re, M2r, dn) - self._mm(a.im, M2i, dn)
+        nd = out.ndim
+        perm = tuple(range(nd - 2)) + (nd - 1, nd - 2)
+        out = out.transpose(perm).reshape(lead + (self.nx,))
+        # (1/nx)*[-Re(V0) + (-1)^x * Re(V_nyq)]; 1/nx is baked into _mf_alt
+        c0 = z.re[..., 0:1]
+        cn = z.re[..., nh:nh + 1]
+        return out + cn * self._mf_alt - c0 * self._mf_alt[0]
 
     def _cconst(self, Mre: np.ndarray, Mim: np.ndarray):
         """Pre-split representation of a complex constant matrix.
@@ -619,7 +739,9 @@ class MXUTransform:
 
     def _rfft2_one(self, x) -> C:
         # pass 1: real DFT along x keeping nk columns
-        if self.evenodd:
+        if self.realpath == "mf":
+            z = self._rdft_last_mf(x)
+        elif self.evenodd:
             z = self._rdft_last_evenodd(x)
         else:
             z = C(self._real_mm_flat(x, self._Rf[0]),
@@ -634,6 +756,8 @@ class MXUTransform:
         # pass 1: inverse complex DFT along y
         z = self._cdft.along(zh, inverse=True, axis=-2)
         # pass 2: real reconstruction along x
+        if self.realpath == "mf":
+            return self._irdft_last_mf(z)
         if self.evenodd:
             return self._irdft_last_evenodd(z)
         return (self._real_mm_flat(z.re, self._Ri[0])

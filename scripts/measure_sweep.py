@@ -27,7 +27,7 @@ BASELINE_PTS = 20.0 * 128 * 128
 
 def _build(nx: int, budgets: bool, pre: bool, form: str = "dotgen",
            n1: int = 0, model: str = "coupled", sb: bool = True,
-           mb: int = 0):
+           mb: int = 0, rp: str = ""):
     from niwqg_tpu import CoupledModel, QGModel, YBJModel
     from niwqg_tpu import InitialConditions as ic
 
@@ -36,6 +36,8 @@ def _build(nx: int, budgets: bool, pre: bool, form: str = "dotgen",
         topts["factors"] = (n1, nx // n1)
     if mb:
         topts["max_batch"] = mb
+    if rp:
+        topts["realpath"] = rp
     U0 = 0.05
     L = 2 * np.pi * 200e3
     k0 = 10 * (2 * np.pi / L)
@@ -72,8 +74,8 @@ def _build(nx: int, budgets: bool, pre: bool, form: str = "dotgen",
 
 def measure(nx: int, budgets: bool, nsteps: int, pre: bool = True,
             form: str = "dotgen", n1: int = 0, model: str = "coupled",
-            sb: bool = True, mb: int = 0):
-    m = _build(nx, budgets, pre, form, n1, model, sb, mb)
+            sb: bool = True, mb: int = 0, rp: str = ""):
+    m = _build(nx, budgets, pre, form, n1, model, sb, mb, rp)
     run = m._chunk(nsteps)
 
     def ke_of(state):
@@ -94,7 +96,7 @@ def measure(nx: int, budgets: bool, nsteps: int, pre: bool = True,
     sps = nsteps / dt
     pts = sps * nx * nx
     print(f"RESULT model={model} nx={nx} budgets={int(budgets)} "
-          f"sb={int(sb)} form={form} n1={n1} mb={mb} steps/s={sps:.2f} "
+          f"sb={int(sb)} form={form} n1={n1} mb={mb} rp={rp or 'auto'} steps/s={sps:.2f} "
           f"pts/s={pts:.3e} vs_baseline={pts / BASELINE_PTS:.1f} "
           f"compile_s={compile_s:.0f} Ke={ke:.6e}", flush=True)
 
@@ -112,6 +114,7 @@ def main():
         n1 = 0
         mb = 0
         model = "coupled"
+        rp = ""
         for p in parts[1:]:
             k, v = p.split("=")
             if k == "budgets":
@@ -130,9 +133,11 @@ def main():
                 mb = int(v)
             elif k == "model":
                 model = v
+            elif k == "rp":
+                rp = v
         t0 = time.time()
         try:
-            measure(nx, budgets, nsteps, pre, form, n1, model, sb, mb)
+            measure(nx, budgets, nsteps, pre, form, n1, model, sb, mb, rp)
         except Exception as e:  # keep the sweep going
             print(f"RESULT nx={nx} budgets={int(budgets)} FAILED after "
                   f"{time.time() - t0:.0f}s: {e!r}", flush=True)

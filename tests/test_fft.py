@@ -287,3 +287,96 @@ class TestFormulationParity:
         zh = a.rfft2(self.x)
         np.testing.assert_allclose(np.asarray(a.irfft2(zh)),
                                    np.asarray(b.irfft2(zh)), atol=1e-13)
+
+
+@pytest.mark.parametrize("factors", [(8, 8), (16, 4)])
+class TestMXUMirrorFree:
+    """The mirror-free real-transform path (``realpath='mf'``, the >=4096
+    TPU configuration): Hermitian mirrors folded into half-range four-step
+    tables, zero strided layout ops. Forced on at nx=64 under CPU f64."""
+
+    nx = 64
+
+    def _mk(self, factors, dtype=np.float64, **kw):
+        return MXUTransform(self.nx, dtype, factors=factors,
+                            realpath="mf", **kw)
+
+    def setup_method(self):
+        rng = np.random.default_rng(47)
+        self.x = rng.standard_normal((self.nx, self.nx))
+        self.z = (rng.standard_normal((self.nx, self.nx))
+                  + 1j * rng.standard_normal((self.nx, self.nx)))
+
+    def test_rfft2_matches_numpy(self, factors):
+        mxu = self._mk(factors)
+        got = mxu.rfft2(np.asarray(self.x)).to_complex()
+        want = np.fft.rfft2(self.x)
+        assert np.abs(got - want).max() / np.abs(want).max() < 1e-12
+
+    def test_irfft2_roundtrip(self, factors):
+        mxu = self._mk(factors)
+        back = np.asarray(mxu.irfft2(mxu.rfft2(np.asarray(self.x))))
+        assert np.abs(back - self.x).max() < 1e-12
+
+    def test_batched_real(self, factors):
+        mxu = self._mk(factors)
+        batch = np.stack([self.x, 2 * self.x, self.x[::-1]])
+        got = mxu.rfft2(np.asarray(batch)).to_complex()
+        want = np.fft.rfft2(batch, axes=(-2, -1))
+        assert np.abs(got - want).max() / np.abs(want).max() < 1e-12
+        back = np.asarray(mxu.irfft2(mxu.rfft2(np.asarray(batch))))
+        assert np.abs(back - batch).max() < 1e-12
+
+    def test_matches_evenodd_path(self, factors):
+        """mf and even/odd are different factorizations of the same
+        transform; outputs must agree to rounding error."""
+        mf = self._mk(factors)
+        eo = MXUTransform(self.nx, np.float64, factors=factors,
+                          half_factors=(8, 4), evenodd=True,
+                          realpath="evenodd")
+        a = mf.rfft2(np.asarray(self.x)).to_complex()
+        b = eo.rfft2(np.asarray(self.x)).to_complex()
+        assert np.abs(a - b).max() / np.abs(b).max() < 1e-13
+        zh = eo.rfft2(np.asarray(self.x))
+        np.testing.assert_allclose(np.asarray(mf.irfft2(zh)),
+                                   np.asarray(eo.irfft2(zh)), atol=1e-13)
+
+    def test_projects_self_mirror_antihermitian(self, factors):
+        """Anti-Hermitian residue in the self-mirror columns k=0 and
+        k=nx/2 must be annihilated (the ``2*Re`` step), matching what
+        ``real(ifft2(.))`` computes for evolved Nyquist content."""
+        mxu = self._mk(factors)
+        zh_np = np.fft.rfft2(self.x)
+        zr, zi = np.real(zh_np).copy(), np.imag(zh_np).copy()
+        zi[:, 0] += 3.0    # k=0 column, all rows
+        zi[:, -1] += 2.0   # Nyquist column
+        got = np.asarray(mxu.irfft2(C(np.asarray(zr), np.asarray(zi))))
+        # reference semantics: embed in the full spectrum, real(ifft2)
+        want = np.fft.irfft2(zr + 1j * zi, s=(self.nx, self.nx))
+        assert np.abs(got - want).max() < 1e-12
+
+    def test_fft2_real_and_ifft2_real(self, factors):
+        mxu = self._mk(factors)
+        got = mxu.fft2_real(np.asarray(self.x)).to_complex()
+        want = np.fft.fft2(self.x)
+        assert np.abs(got - want).max() / np.abs(want).max() < 1e-12
+        zh = np.fft.fft2(self.z)
+        got_r = np.asarray(mxu.ifft2_real(C.from_complex(zh)))
+        want_r = np.fft.ifft2(zh).real
+        assert np.abs(got_r - want_r).max() / np.abs(want_r).max() < 1e-12
+
+    def test_split_precision_f32(self, factors):
+        mxu = self._mk(factors, dtype=np.float32, precision="split")
+        got = mxu.rfft2(np.asarray(self.x.astype(np.float32))).to_complex()
+        want = np.fft.rfft2(self.x)
+        rel = np.abs(got - want).max() / np.abs(want).max()
+        assert rel < 5e-6, rel
+
+    def test_max_batch_split_bitwise(self, factors):
+        a = self._mk(factors, max_batch=0)
+        b = self._mk(factors, max_batch=2)
+        xr = np.stack([self.x, 2 * self.x, self.x * self.x])
+        ra, rb = a.rfft2(xr), b.rfft2(xr)
+        assert np.array_equal(np.asarray(ra.re), np.asarray(rb.re))
+        assert np.array_equal(np.asarray(a.irfft2(ra)),
+                              np.asarray(b.irfft2(ra)))
