@@ -699,15 +699,18 @@ class CoupledModel(_WaveModel):
 class UnCoupledModel(_WaveModel):
     """YBJ waves on an evolving flow (``niwqg/UnCoupledModel.py``).
 
-    ``faithful_quirks=True`` reproduces the reference's stale-gradient
-    cadence bug-for-bug (golden parity); the default recomputes the wave
-    gradients every stage (the intended physics — see
-    ``models/uncoupled.py``)."""
+    Default-behavior policy (uniform across models): **the default
+    reproduces the reference as it actually runs** — a ported reference
+    script gets the reference trajectory. ``faithful_quirks=True``
+    (default) reproduces the reference's stale-gradient cadence
+    bug-for-bug (golden parity, ``tests/test_golden_reference.py``);
+    pass ``faithful_quirks=False`` to recompute the wave gradients every
+    stage (the intended physics — see ``models/uncoupled.py``)."""
 
     model = " Uncoupled Model"
     _physics_factory = staticmethod(UnCoupledPhysics)
 
-    def __init__(self, *args, faithful_quirks: bool = False, **kwargs):
+    def __init__(self, *args, faithful_quirks: bool = True, **kwargs):
         if faithful_quirks:
             self._physics_factory = (
                 lambda: UnCoupledPhysics(faithful_quirks=True))
@@ -717,7 +720,12 @@ class UnCoupledModel(_WaveModel):
 class QLModel(_WaveModel):
     """Quasilinear coupled model (intended physics of ``niwqg/QLModel.py``).
 
-    ``faithful_quirks=True`` reproduces the *repaired* reference QL
+    Default-behavior policy: defaults elsewhere reproduce the reference
+    as it runs, but the reference QLModel cannot run as shipped (it
+    crashes at construction, ``niwqg/Kernel.py:140``), so there is no
+    as-shipped trajectory to be faithful to — the default here is the
+    *intended* quasilinear physics. ``faithful_quirks=True`` reproduces
+    the *repaired* reference QL
     bug-for-bug (see ``models/ql.py``): the ``1j`` wave-PV factor
     (``QLModel.py:83``), unprojected ``ph`` (``QLModel.py:86``), and the
     never-updated ``self.q`` — whose user-visible faces are a frozen

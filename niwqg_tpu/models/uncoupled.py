@@ -5,17 +5,17 @@ Re-design of ``niwqg/UnCoupledModel.py``: plain inversion
 advected by the flow but exert no feedback (``q_psi = q``,
 ``niwqg/Kernel.py:492-501``).
 
-Intentional fix over the reference (default mode): the reference only
-refreshes the wave gradients ``phix/phiy`` when a diagnostic routine
-happens to run (``_calc_pe_niw``, ``niwqg/Kernel.py:608-611`` — every
-``tdiags``/``twrite`` steps), so its uncoupled advection term uses stale
-gradients. Here the gradients are recomputed from the current ``phih`` at
-every stage, which is the intended Young & Ben Jelloul physics.
-
-``faithful_quirks=True`` reproduces the reference bug-for-bug (for golden
-parity): gradients are carried through all four stages and refreshed only
-on the reference's cadence (see ``WavePhysics.stale_phi_gradients`` and
-the model shells' refresh hooks).
+Reference quirk: the reference only refreshes the wave gradients
+``phix/phiy`` when a diagnostic routine happens to run (``_calc_pe_niw``,
+``niwqg/Kernel.py:608-611`` — every ``tdiags``/``twrite`` steps), so its
+uncoupled advection term uses stale gradients. ``faithful_quirks=True``
+— the model-shell default, per the uniform "defaults reproduce the
+reference as it runs" policy — carries the gradients through all four
+stages and refreshes them only on the reference's cadence (golden
+parity; see ``WavePhysics.stale_phi_gradients`` and the model shells'
+refresh hooks). ``faithful_quirks=False`` recomputes the gradients from
+the current ``phih`` at every stage — the intended Young & Ben Jelloul
+physics (opt-in fix).
 """
 
 from __future__ import annotations

@@ -144,10 +144,16 @@ def test_spectral_budget_sources_match_physical(model_mod):
     fused spectral reductions is exercised (incl. the nu4w/mu/muw terms
     that are zero in the flagship configs)."""
     U0 = 0.05
+    kw = {}
+    if model_mod is UnCoupledModel:
+        # the spectral path requires fresh per-stage gradients; the
+        # parity default (faithful_quirks=True) keeps them stale and
+        # falls back to the physical-space source evaluation
+        kw["faithful_quirks"] = False
     m = model_mod.Model(use_filter=False, U=-U0, tdiags=1,
                         tmax=3 * 10000.0, fast=True,
                         nu4=1.0e8, nu=20.0, mu=1e-8,
-                        nu4w=1.0e8, nuw=50.0, muw=1e-8)
+                        nu4w=1.0e8, nuw=50.0, muw=1e-8, **kw)
     k0 = 10 * (2 * np.pi / m.L)
     q = ic.LambDipole(m, U=U0, R=2 * np.pi / k0)
     m.set_q(q)

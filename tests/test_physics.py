@@ -36,8 +36,12 @@ def test_uncoupled_wave_energy_conservation():
     T = 10 * 10000.0
 
     def drift(dt):
+        # intended physics (fresh per-stage gradients): the dt^4
+        # convergence below is a property of the corrected scheme, not of
+        # the reference's stale-gradient cadence (the parity default)
         m = UnCoupledModel.Model(use_filter=False, nu4=0, nu=0, nuw=0, mu=0,
-                                 muw=0, tdiags=1, tmax=T, dt=dt)
+                                 muw=0, tdiags=1, tmax=T, dt=dt,
+                                 faithful_quirks=False)
         k0 = 10 * (2 * np.pi / m.L)
         q = ic.LambDipole(m, U=U0, R=2 * np.pi / k0)
         phi = np.asarray(ic.WavePacket(m, k=2 * k0, l=0, R=2 * np.pi / k0,
