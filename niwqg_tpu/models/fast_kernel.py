@@ -81,8 +81,21 @@ class FastWaveKernel(WaveKernel):
     """
 
     def __init__(self, params: KernelParams, physics: WavePhysics,
-                 q_half=None, **kw):
+                 q_half=None, pair_inverse: bool = False, **kw):
         super().__init__(params, physics, **kw)
+        self.pair_inverse = bool(pair_inverse)
+        if self.pair_inverse:
+            # pair packing rides full complex inverses, so the q side must
+            # carry full-width spectra (the q_half trade — ROADMAP item 1)
+            if q_half:
+                raise ValueError(
+                    "pair_inverse requires the full-spectrum q side "
+                    "(q_half=False)")
+            if params.nx % 2 or not hasattr(self.tr, "ifft2_real_pairs"):
+                raise ValueError(
+                    "pair_inverse needs even nx and a transform provider "
+                    "with ifft2_real_pairs")
+            q_half = False
         if q_half is None:
             q_half = (params.nx % 2 == 0 and hasattr(self.tr, "rfft2")
                       and physics.hermitian_ph)
@@ -129,6 +142,37 @@ class FastWaveKernel(WaveKernel):
             # columns (see WaveKernel.__init__ on ``_l_dy``)
             l_dy = np.asarray(self.qtab.l).copy()
             l_dy[g.ny // 2, 1:params.nx // 2] = 0.0
+            self._l_dy = jnp.asarray(l_dy)
+        if self.pair_inverse:
+            # full-spectrum q side + pair-packed inverse reads: every
+            # stacked ifft2_real batch rides nf/2 complex inverses. The
+            # O(ny) 2-column projection replaces the reference's full
+            # fft(real(ifft(.))) sandwich: interior mirror columns are
+            # bitwise Hermitian by construction in this kernel (forward
+            # real transforms expand exact mirrors; every table multiply
+            # is conjugate-symmetric across paired columns), so only the
+            # self-mirror columns k=0, nx/2 can drift off the Hermitian
+            # subspace (mean-flow advection phase) — asserted against the
+            # default path in tests/test_pair_inverse.py.
+            nx_ = params.nx
+
+            def _inv_real_pairs(z):
+                if z.re.ndim == 2:
+                    return self.tr.ifft2_real(z)
+                return self.tr.ifft2_real_pairs(
+                    spectral.hermitian_project_half(z, nx_))
+
+            self._inv_real = _inv_real_pairs
+            # l-derivative table, Nyquist-row interior columns zeroed: an
+            # l-derivative of a Hermitian spectrum is PURELY anti-Hermitian
+            # there (pair (ny/2, k) <-> (ny/2, nx-k) has z2 = -conj(z1));
+            # the full-projection read annihilates it, and the packed read
+            # must never create it (it would land on the partner field).
+            # Exactly the half-layout ``_l_dy`` rule, full-width.
+            g_ = self.grid
+            l_dy = np.asarray(g_.l).copy()
+            l_dy[g_.ny // 2, 1:nx_ // 2] = 0.0
+            l_dy[g_.ny // 2, nx_ // 2 + 1:] = 0.0
             self._l_dy = jnp.asarray(l_dy)
         # Spectral-budget weight tables (f64 numpy, cast once). All three
         # fold the dissipation coefficients into a single wavenumber
@@ -190,7 +234,9 @@ class FastWaveKernel(WaveKernel):
 
     def _project_ph(self, ph: C) -> C:
         """The reference inversion's ``fft(real(ifft(.)))`` sandwich."""
-        if self.q_half:
+        if self.q_half or self.pair_inverse:
+            # 2-column projection suffices: see the pair_inverse note in
+            # __init__ (interior mirror columns bitwise Hermitian)
             return spectral.hermitian_project_half(ph, self.params.nx)
         return spectral.hermitian_project(ph)
 

@@ -108,8 +108,41 @@ class NativeTransform:
     def irfft2(self, zh: C):
         return jnp.fft.irfft2(self._c(zh), s=(zh.re.shape[-2], self.nx))
 
+    def ifft2_real_pairs(self, zh: C):
+        """Pair-packed real inverses of a STACK of full-spectrum Hermitian
+        transforms ``(nf, ny, nx)`` -> ``(nf, ny, nx)`` real fields: two
+        spectra ride one complex inverse (see MXUTransform for the
+        contract)."""
+        return _pairs_via_ifft2(self, zh)
+
     def _cplx(self):
         return np.complex128 if self.dtype == np.float64 else np.complex64
+
+
+def _pairs_via_ifft2(tr, zh: C):
+    """Shared pair-packing driver: ``ifft2(A + iB) = a + i b`` for real
+    fields a, b whose full spectra A, B are Hermitian. Pack/unpack is pure
+    plane algebra (adds and leading-axis restacking — no strided gathers).
+
+    CONTRACT: the caller must have projected anti-Hermitian residue out of
+    each spectrum first (the reference's ``real(ifft(.))`` read does this
+    implicitly; here the imaginary plane of each packed inverse IS the
+    partner field, so any residual ``Im(ifft2(A))`` becomes additive noise
+    on ``b`` instead of being discarded). In this solver all q-side
+    spectra are bitwise Hermitian except the two self-mirror columns
+    ``k=0, nx/2`` (mean-flow advection phase), which
+    ``spectral.hermitian_project_half`` fixes in O(ny) per field.
+    """
+    nf = zh.re.shape[0]
+    outs = []
+    for j in range(0, nf - 1, 2):
+        A = C(zh.re[j], zh.im[j])
+        B = C(zh.re[j + 1], zh.im[j + 1])
+        z = tr.ifft2(C(A.re - B.im, A.im + B.re))
+        outs.extend([z.re, z.im])
+    if nf % 2:
+        outs.append(tr.ifft2_real(C(zh.re[-1], zh.im[-1])))
+    return jnp.stack(outs)
 
 
 # ----------------------------------------------------------------------
@@ -686,6 +719,16 @@ class MXUTransform:
         if self.nx % 2:
             return self.ifft2(zh).re
         return self.irfft2(project_full_to_half(zh))
+
+    def ifft2_real_pairs(self, zh: C):
+        """Pair-packed real inverses (two Hermitian spectra per complex
+        inverse; ROADMAP item 1 / VERDICT r3 item 1). Each pair is issued
+        as one full complex ``ifft2`` — same per-field MACs as a
+        dedicated real path's would-be 2-for-1, but with zero strided
+        gathers/flips/interleaves anywhere: pack = plane adds, unpack =
+        the re/im planes themselves. See ``_pairs_via_ifft2`` for the
+        Hermitian-input contract."""
+        return _pairs_via_ifft2(self, zh)
 
     def _real_mm_flat(self, x, M):
         """Real (…, K) @ (K, N) contraction along the last axis."""

@@ -231,3 +231,18 @@ class PencilTransform:
     def irfft2(self, zh: C):
         (out,) = self._smap("rinv", zh.re.ndim)(zh.re, zh.im)
         return out
+
+    def ifft2_real_pairs(self, zh: C):
+        """Pair-packed real inverses (``ifft2(A + iB) = a + ib``; see
+        ``ops.fft._pairs_via_ifft2`` for the Hermitian-input contract).
+
+        On the pencil path this is a first-class *communication* lever,
+        not just a matmul one: ``ifft2_real`` here is a full complex
+        inverse (one full-width all_to_all per field), so packing two
+        real fields per inverse halves the transpose volume of the
+        real-inverse group — the largest per-stage group (4 fields) of
+        the fast wave kernel.
+        """
+        from ..ops.fft import _pairs_via_ifft2
+
+        return _pairs_via_ifft2(self, zh)

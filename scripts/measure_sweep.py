@@ -27,7 +27,7 @@ BASELINE_PTS = 20.0 * 128 * 128
 
 def _build(nx: int, budgets: bool, pre: bool, form: str = "dotgen",
            n1: int = 0, model: str = "coupled", sb: bool = True,
-           mb: int = 0, rp: str = ""):
+           mb: int = 0, rp: str = "", pair: bool = False):
     from niwqg_tpu import CoupledModel, QGModel, YBJModel
     from niwqg_tpu import InitialConditions as ic
 
@@ -55,11 +55,12 @@ def _build(nx: int, budgets: bool, pre: bool, form: str = "dotgen",
                            m=1.0 / 325, N=0.005, f=1e-4, use_filter=True,
                            nu4w=7.5e9, transform_opts=topts)
     else:
+        kkw = {"pair_inverse": True} if pair else {}
         m = CoupledModel.Model(
             L=L, nx=nx, dt=157.0, tmax=157.0 * 100,
             m=1.0 / 325, N=0.005, f=1e-4, use_filter=True,
             nu4=7.5e9, nu4w=7.5e9, compute_budgets=budgets,
-            transform_opts=topts, spectral_budgets=sb,
+            transform_opts=topts, spectral_budgets=sb, **kkw,
         )
     if not pre:
         # must flip before set_q so the state pytree is built without the
@@ -74,8 +75,8 @@ def _build(nx: int, budgets: bool, pre: bool, form: str = "dotgen",
 
 def measure(nx: int, budgets: bool, nsteps: int, pre: bool = True,
             form: str = "dotgen", n1: int = 0, model: str = "coupled",
-            sb: bool = True, mb: int = 0, rp: str = ""):
-    m = _build(nx, budgets, pre, form, n1, model, sb, mb, rp)
+            sb: bool = True, mb: int = 0, rp: str = "", pair: bool = False):
+    m = _build(nx, budgets, pre, form, n1, model, sb, mb, rp, pair)
     run = m._chunk(nsteps)
 
     def ke_of(state):
@@ -96,7 +97,8 @@ def measure(nx: int, budgets: bool, nsteps: int, pre: bool = True,
     sps = nsteps / dt
     pts = sps * nx * nx
     print(f"RESULT model={model} nx={nx} budgets={int(budgets)} "
-          f"sb={int(sb)} form={form} n1={n1} mb={mb} rp={rp or 'auto'} steps/s={sps:.2f} "
+          f"sb={int(sb)} form={form} n1={n1} mb={mb} rp={rp or 'auto'} "
+          f"pair={int(pair)} steps/s={sps:.2f} "
           f"pts/s={pts:.3e} vs_baseline={pts / BASELINE_PTS:.1f} "
           f"compile_s={compile_s:.0f} Ke={ke:.6e}", flush=True)
 
@@ -115,6 +117,7 @@ def main():
         mb = 0
         model = "coupled"
         rp = ""
+        pair = False
         for p in parts[1:]:
             k, v = p.split("=")
             if k == "budgets":
@@ -135,9 +138,12 @@ def main():
                 model = v
             elif k == "rp":
                 rp = v
+            elif k == "pair":
+                pair = v != "0"
         t0 = time.time()
         try:
-            measure(nx, budgets, nsteps, pre, form, n1, model, sb, mb, rp)
+            measure(nx, budgets, nsteps, pre, form, n1, model, sb, mb, rp,
+                    pair)
         except Exception as e:  # keep the sweep going
             print(f"RESULT nx={nx} budgets={int(budgets)} FAILED after "
                   f"{time.time() - t0:.0f}s: {e!r}", flush=True)
