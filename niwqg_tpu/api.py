@@ -69,7 +69,10 @@ def _make_sharded_transform(nx, dtype, mesh, backend, precision, opts=None):
     from .parallel.pfft import PencilTransform
 
     return PencilTransform(nx, dtype, mesh,
-                           overlap_chunks=opts.pop("overlap_chunks", 1))
+                           overlap_chunks=opts.pop("overlap_chunks", 1),
+                           pallas_a2a=opts.pop("pallas_a2a", False),
+                           pallas_interpret=opts.pop("pallas_interpret",
+                                                     False))
 
 
 class _ModelBase:

@@ -75,7 +75,10 @@ class PencilTransform:
     """
 
     def __init__(self, nx: int, dtype, mesh: Mesh, axis: str = AXIS,
-                 overlap_chunks: int = 1):
+                 overlap_chunks: int = 1, pallas_a2a: bool = False,
+                 pallas_interpret: bool = False):
+        self.pallas_a2a = bool(pallas_a2a)
+        self.pallas_interpret = bool(pallas_interpret)
         self.nx = nx
         self.dtype = np.dtype(dtype)
         self.nk_half = nx // 2 + 1
@@ -100,6 +103,14 @@ class PencilTransform:
             destination block s, so after the split/concat each device
             holds columns ``[i*w, (i+1)*w)`` of its own final block and a
             plain concatenate restores column order."""
+            if self.pallas_a2a:
+                # hand-written direct-exchange RDMA kernel (all peer
+                # transfers concurrently in flight; see parallel/pallas_a2a)
+                from .pallas_a2a import all_to_all_fwd
+
+                z = all_to_all_fwd(z, nP, chunks=chunks, axis=ax,
+                                   interpret=self.pallas_interpret)
+                return jnp.fft.fft(z, axis=-2)
             if chunks == 1:
                 z = lax.all_to_all(z, ax, split_axis=z.ndim - 1,
                                    concat_axis=z.ndim - 2, tiled=True)
@@ -120,6 +131,12 @@ class PencilTransform:
             """Inverse of :func:`_fwd_transpose_yfft` up to the final
             x-pass: (rows, width) column pencil -> y-iFFT -> chunked
             all_to_all -> (rows/P, P*width) row block, monolithic layout."""
+            if self.pallas_a2a:
+                from .pallas_a2a import all_to_all_inv
+
+                z = jnp.fft.ifft(z, axis=-2)
+                return all_to_all_inv(z, nP, chunks=chunks, axis=ax,
+                                      interpret=self.pallas_interpret)
             if chunks == 1:
                 z = jnp.fft.ifft(z, axis=-2)
                 return lax.all_to_all(z, ax, split_axis=z.ndim - 2,
@@ -202,6 +219,9 @@ class PencilTransform:
                 local, mesh=self.mesh,
                 in_specs=tuple(spec(k) for k in in_kinds),
                 out_specs=tuple(spec(k) for k in out_kinds),
+                # the interpret-mode Pallas RDMA kernel's internals mix
+                # varying/invariant values the vma checker can't follow
+                check_vma=not self.pallas_a2a,
             )
             self._smap_cache[key] = fn
         return fn
