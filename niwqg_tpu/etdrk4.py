@@ -15,6 +15,7 @@ adds ``beta * ik / wv2`` (``niwqg/QGModel.py:427-428``).
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import NamedTuple
 
 import numpy as np
@@ -49,7 +50,16 @@ def _contour_phis(ch: np.ndarray, dt: float, M: int = 32, rho: float = 1.0):
     (``niwqg/Kernel.py:427-433``) materialises several ``(nl, nk, M)``
     complex128 temporaries — ~13 GB of peak host RAM at 2048², OOM at
     4096². Chunking bounds the peak at ~100 MB with identical results.
+
+    Chunks are evaluated by a thread pool: the work is numpy
+    transcendental ufuncs, which release the GIL, and the single-thread
+    version dominated model construction (~140 s at 2048², ~10 min at
+    4096², ~40 min at 8192² on a 4-core host). Per-element arithmetic is
+    unchanged, so results are bit-for-bit identical to the serial loop
+    (and to the reference construction) regardless of worker count.
     """
+    from concurrent.futures import ThreadPoolExecutor
+
     r = rho * np.exp(2j * np.pi * ((np.arange(1.0, M + 1)) / M))
     Qh = np.empty_like(ch)
     f0 = np.empty_like(ch)
@@ -57,8 +67,15 @@ def _contour_phis(ch: np.ndarray, dt: float, M: int = 32, rho: float = 1.0):
     fc = np.empty_like(ch)
     nl = ch.shape[0]
     rows = max(1, min(nl, (8 << 20) // max(1, ch.shape[1] * M)))
-    for j0 in range(0, nl, rows):
-        sl = slice(j0, min(j0 + rows, nl))
+
+    # row symmetry (see below): only rows [0, nl_eval) are evaluated
+    nl_eval = nl
+    if nl % 2 == 0 and nl > 2 and np.array_equal(ch[1:nl // 2],
+                                                 ch[:nl // 2:-1]):
+        nl_eval = nl // 2 + 1
+
+    def do_chunk(j0):
+        sl = slice(j0, min(j0 + rows, nl_eval))
         LR = ch[sl, :, np.newaxis] + r[np.newaxis, np.newaxis, :]
         LR2 = LR * LR
         LR3 = LR2 * LR
@@ -69,6 +86,25 @@ def _contour_phis(ch: np.ndarray, dt: float, M: int = 32, rho: float = 1.0):
         )
         fab[sl] = dt * (((2.0 + LR + eLR * (-2.0 + LR)) / LR3).mean(axis=-1))
         fc[sl] = dt * (((-4.0 - 3.0 * LR - LR2 + eLR * (4.0 - LR)) / LR3).mean(axis=-1))
+
+    # row symmetry: every linear operator here depends on l only through
+    # wv2 = k^2 + l^2, so rows l and nl-l carry IDENTICAL ch values
+    # (l_np is exactly negated, squares bitwise-equal). Compute the lower
+    # half and copy the mirror rows — exact, 2x fewer transcendentals.
+    mirror = nl_eval != nl
+
+    nworkers = min(int(os.environ.get("NIWQG_ETDRK4_WORKERS", "0"))
+                   or (os.cpu_count() or 1), 16)
+    starts = list(range(0, nl_eval, rows))
+    if nworkers > 1 and len(starts) > 1:
+        with ThreadPoolExecutor(max_workers=nworkers) as ex:
+            list(ex.map(do_chunk, starts))
+    else:
+        for j0 in starts:
+            do_chunk(j0)
+    if mirror:
+        for out in (Qh, f0, fab, fc):
+            out[nl // 2 + 1:] = out[1:nl // 2][::-1]
     return Qh, f0, fab, fc
 
 

@@ -15,9 +15,13 @@ Same ETDRK4 stage structure, budget integration and physics as
     the provider's half-spectrum path (``fft2_real``/``ifft2_real`` →
     even/odd rfft2/irfft2 on the MXU provider), which halves the matmul
     work per real field with exact same-field arithmetic. This replaces
-    the round-1 two-for-one *pair* packing, whose cross-field unpack
-    leaked ``eps*||big||`` noise between paired fields and NaN'd a
-    100-step 4096² f32 run once the k² wave-PV factors amplified it;
+    the round-1 two-for-one *forward* pair packing, whose cross-field
+    unpack leaked ``eps*||big||`` noise between paired fields and NaN'd a
+    100-step 4096² f32 run once the k² wave-PV factors amplified it.
+    (``pair_inverse=True`` revisits packing in the INVERSE direction
+    only, where inputs are Hermitian by construction and the unpack is
+    the re/im planes themselves — no spectrum-side leak path; see
+    ``__init__`` below and ``ops/fft._pairs_via_ifft2``);
   - with ``spectral_budgets=True`` (default) the per-stage energy-budget
     sources (``niwqg/Kernel.py:629-701``) are evaluated by Parseval
     instead of in physical space, which makes them FREE of transforms:

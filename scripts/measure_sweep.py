@@ -76,7 +76,10 @@ def _build(nx: int, budgets: bool, pre: bool, form: str = "dotgen",
 def measure(nx: int, budgets: bool, nsteps: int, pre: bool = True,
             form: str = "dotgen", n1: int = 0, model: str = "coupled",
             sb: bool = True, mb: int = 0, rp: str = "", pair: bool = False):
+    t_b = time.time()
     m = _build(nx, budgets, pre, form, n1, model, sb, mb, rp, pair)
+    print(f"STAGE built nx={nx} pair={int(pair)} "
+          f"build_s={time.time() - t_b:.0f}", flush=True)
     run = m._chunk(nsteps)
 
     def ke_of(state):

@@ -48,7 +48,26 @@ def main():
         else:
             nx = base_nx
         mesh = make_mesh(P) if P > 1 else None
-        m = _build_coupled(nx=nx, mesh=mesh, dtype=None, backend=backend)
+        if os.environ.get("NIWQG_SCALING_FAST", "1") != "0":
+            # production (batched fast-kernel) step shape regardless of
+            # host backend, so scaling structure matches the TPU path
+            import numpy as _np
+
+            from niwqg_tpu import CoupledModel
+            from niwqg_tpu import InitialConditions as ic
+            U0 = 0.05
+            m = CoupledModel.Model(
+                L=2 * _np.pi * 200e3, nx=nx, dt=157.0, tmax=157.0 * 100,
+                m=1.0 / 325, N=0.005, f=1e-4, use_filter=True,
+                nu4=7.5e9, nu4w=7.5e9, mesh=mesh, backend=backend,
+                fast=True)
+            k0 = 10 * (2 * _np.pi / m.L)
+            q = ic.LambDipole(m, U=U0, R=2 * _np.pi / k0)
+            m.set_q(q)
+            m.set_phi((_np.ones_like(q) + 1j) * 5 * U0 / _np.sqrt(2))
+        else:
+            m = _build_coupled(nx=nx, mesh=mesh, dtype=None,
+                               backend=backend)
         run = m._chunk(nsteps)
         state = run(m.state)  # compile + warm
         ke = float(np.asarray(state.Ke))

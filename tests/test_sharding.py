@@ -108,6 +108,18 @@ def _coupled(mesh=None, nsteps=5, **kw):
     return m
 
 
+def test_coupled_sharded_pair_inverse_equals_single(mesh):
+    """Pencil mesh + pair-packed inverse reads (halves the real-inverse
+    group's all_to_all volume — see parallel/pfft.ifft2_real_pairs)."""
+    a = _coupled(mesh=None)
+    b = _coupled(mesh=mesh, pair_inverse=True)
+    assert b.kernel.pair_inverse
+    scale = np.abs(a.q).max()
+    assert np.abs(a.q - b.q).max() < 1e-12 * scale
+    assert np.abs(np.asarray(a.phi) - np.asarray(b.phi)).max() < 1e-12
+    assert abs(a.Ke - b.Ke) < 1e-12 * abs(a.Ke)
+
+
 def test_coupled_sharded_equals_single(mesh):
     a = _coupled(mesh=None)
     b = _coupled(mesh=mesh)
