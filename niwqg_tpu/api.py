@@ -544,6 +544,10 @@ class _WaveModel(_ModelBase):
 
     def _make_kernel(self, dtype, backend, precision, **kw):
         cls = self._kernel_cls
+        if kw.get("pair_inverse") and not getattr(self, "_fast", False):
+            raise ValueError(
+                "pair_inverse requires the batched fast kernel — pass "
+                "fast=True (the default on TPU backends)")
         if getattr(self, "_fast", False) and cls is WaveKernel:
             from .models.fast_kernel import FastWaveKernel
 

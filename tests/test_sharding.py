@@ -111,8 +111,8 @@ def _coupled(mesh=None, nsteps=5, **kw):
 def test_coupled_sharded_pair_inverse_equals_single(mesh):
     """Pencil mesh + pair-packed inverse reads (halves the real-inverse
     group's all_to_all volume — see parallel/pfft.ifft2_real_pairs)."""
-    a = _coupled(mesh=None)
-    b = _coupled(mesh=mesh, pair_inverse=True)
+    a = _coupled(mesh=None, fast=True)
+    b = _coupled(mesh=mesh, fast=True, pair_inverse=True)
     assert b.kernel.pair_inverse
     scale = np.abs(a.q).max()
     assert np.abs(a.q - b.q).max() < 1e-12 * scale
