@@ -36,7 +36,7 @@ jax.config.update("jax_enable_x64", True)
 NX = int(os.environ.get("NIWQG_8192_NX", "8192"))
 
 
-def build(backend, dtype):
+def build(backend, dtype, init_fields=True):
     from niwqg_tpu import CoupledModel
     from niwqg_tpu import InitialConditions as ic
     from niwqg_tpu.parallel.mesh import make_mesh
@@ -48,9 +48,10 @@ def build(backend, dtype):
                            use_filter=True, nu4=7.5e9, nu4w=7.5e9,
                            mesh=mesh, backend=backend, dtype=dtype,
                            fast=True, tdiags=1000)
-    k0 = 10 * (2 * np.pi / m.L)
-    m.set_q(ic.LambDipole(m, U=U0, R=2 * np.pi / k0))
-    m.set_phi((np.ones((NX, NX)) + 1j) * 2 * U0 / np.sqrt(2))
+    if init_fields:
+        k0 = 10 * (2 * np.pi / m.L)
+        m.set_q(ic.LambDipole(m, U=U0, R=2 * np.pi / k0))
+        m.set_phi((np.ones((NX, NX)) + 1j) * 2 * U0 / np.sqrt(2))
     return m
 
 
@@ -67,7 +68,11 @@ def state_budget(m, dtype):
 
 def run(backend, dtype, execute):
     t0 = time.time()
-    m = build(backend, dtype)
+    # compile-only arms skip set_q/set_phi: those EXECUTE sharded
+    # transforms, and at 8192^2 on 8-threads-over-4-cores the work
+    # between collectives trips XLA-CPU's 40 s rendezvous watchdog
+    # (lowering/compiling the step needs only the zero state's shapes)
+    m = build(backend, dtype, init_fields=execute)
     build_s = time.time() - t0
     _, g, consts = m._step_fns()
     t0 = time.time()
@@ -101,6 +106,9 @@ def run(backend, dtype, execute):
 
 
 def main():
+    if os.environ.get("NIWQG_8192_ONLY") == "mxu":
+        run("mxu", np.float32, execute=False)
+        return
     # pencil: compile + EXECUTE one step (native FFT, feasible on CPU).
     # f32: an f64 attempt hit XLA-CPU's hard 40 s collective-rendezvous
     # timeout (8 device threads on 4 physical cores — one shard's FFT
