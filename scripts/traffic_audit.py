@@ -86,9 +86,13 @@ def audit(nx: int, P: int, pair: bool):
                            nu4=7.5e9, nu4w=7.5e9, fast=True,
                            L=2 * np.pi * 200e3, dt=157.0, tmax=157.0 * 10,
                            m=1.0 / 325, N=0.005, f=1e-4, mesh=mesh, **kkw)
-    k0 = 10 * (2 * np.pi / m.L)
-    m.set_q(ic.LambDipole(m, U=U0, R=2 * np.pi / k0))
-    m.set_phi((np.ones((nx, nx)) + 1j) * 2 * U0 / np.sqrt(2))
+    if nx < 8192:
+        # set_q/set_phi EXECUTE sharded transforms; at 8192² on the
+        # 8-threads-over-4-cores virtual mesh that trips XLA-CPU's 40 s
+        # collective-rendezvous watchdog. The audit only needs shapes.
+        k0 = 10 * (2 * np.pi / m.L)
+        m.set_q(ic.LambDipole(m, U=U0, R=2 * np.pi / k0))
+        m.set_phi((np.ones((nx, nx)) + 1j) * 2 * U0 / np.sqrt(2))
     _, g, consts = m._step_fns()
     txt = jax.jit(g).lower(consts, m.state).compile().as_text()
 
