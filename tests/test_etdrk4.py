@@ -40,3 +40,31 @@ def test_small_ch_limits():
     assert np.allclose(f0, dt / 6, rtol=1e-10)
     assert np.allclose(fab, dt / 6, rtol=1e-10)
     assert np.allclose(fc, dt / 6, rtol=1e-10)
+
+
+def test_threaded_chunks_bitwise_invariant(monkeypatch):
+    """Worker count must not change a single bit (chunks are elementwise
+    and disjoint; numpy ufuncs evaluated per chunk either way)."""
+    g = Grid(nx=128, L=5e5, dtype=np.dtype("float64"))
+    c = linear_operator_q(g, U=-0.05, nu4=5e9, nu=20.0, mu=1e-8)
+    dt = 1e4
+    monkeypatch.setenv("NIWQG_ETDRK4_WORKERS", "1")
+    serial = _contour_phis(c * dt, dt)
+    monkeypatch.setenv("NIWQG_ETDRK4_WORKERS", "4")
+    threaded = _contour_phis(c * dt, dt)
+    for a, b in zip(serial, threaded):
+        assert np.array_equal(a, b)
+
+
+def test_mirror_skipped_for_asymmetric_operator():
+    """An operator without the l<->-l row symmetry (synthetic) must NOT
+    take the mirror shortcut — full evaluation, equal to the textbook
+    broadcast."""
+    rng = np.random.default_rng(5)
+    ch = (-np.abs(rng.standard_normal((32, 32))) * 1e-2
+          - 1j * rng.standard_normal((32, 32)) * 1e-3)
+    dt = 1e4
+    got = _contour_phis(ch, dt)
+    want = _direct_phis(ch, dt)
+    for a, b in zip(got, want):
+        assert np.array_equal(a, b)
