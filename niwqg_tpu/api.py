@@ -412,6 +412,12 @@ class _ModelBase:
             # set to ~log2(gap) sizes reused across all gaps. Diagnostics
             # sampling is pre-step-counter-based inside the scan, so
             # piece boundaries cannot change its semantics.
+            # (Measured negative, round 4: running small gaps as ONE
+            # exact-length piece — halving dispatches per gap — tied the
+            # piecewise decomposition exactly (0.61 vs 0.62 s per
+            # 10-step gap at 2048², run_warmup_r4.log): the per-gap cost
+            # is the diagnostics device_get + host sync, not dispatch
+            # count. Keep the simpler invariant rule.)
             off = 0
             while off < n:
                 piece = 1 << ((n - off).bit_length() - 1)
