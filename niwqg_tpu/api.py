@@ -100,6 +100,7 @@ class _ModelBase:
         self._step_h = None
         self._diag_h = None
         self._refresh_h = None
+        self._status_h = None
         self._chunk_cache = {}
 
     def _step_fns(self):
@@ -677,12 +678,26 @@ class _WaveModel(_ModelBase):
         return self.registry.evaluate(K, state, aux)
 
     def _print_status(self):
-        """``niwqg/Kernel.py:568-598`` status line + CFL guard."""
-        K, s = self.kernel, self.state
-        ke = float(np.asarray(K.ke_qg(s.d.ph)))
-        kew = float(np.asarray(K.ke_niw(s.d.phi)))
-        pew = float(np.asarray(K.pe_niw(s.phih)))
-        cfl = float(np.asarray(K.cfl(s)))
+        """``niwqg/Kernel.py:568-598`` status line + CFL guard.
+
+        The four status scalars are evaluated by ONE jitted module and
+        fetched with one ``device_get``: evaluating them eagerly is
+        ~15-30 op-by-op dispatches through the remote backend, which
+        dominated the per-cadence-gap overhead of ``run()`` at tight
+        ``twrite`` (run_warmup_r4.log)."""
+        K = self.kernel
+        if self._status_h is None:
+            from .utils.hoist import hoist
+
+            def f(s):
+                return (K.ke_qg(s.d.ph), K.ke_niw(s.d.phi),
+                        K.pe_niw(s.phih), K.cfl(s))
+
+            g, consts = hoist(f, self.state)
+            jf = jax.jit(g)
+            self._status_h = lambda s: jf(consts, s)
+        ke, kew, pew, cfl = (float(v) for v in
+                             jax.device_get(self._status_h(self.state)))
         self.logger.info(
             "Step: %4i, Time: %2.1e, P: %2.1e, Ke: %4.3e, Kw: %4.3e, "
             "Pw: %4.3e, CFL: %3.2f",
@@ -894,10 +909,20 @@ class QGModel(_ModelBase):
         return self.registry.evaluate(K, state, aux)
 
     def _print_status(self):
-        """``niwqg/QGModel.py:554-578``."""
-        K, s = self.kernel, self.state
-        ke = float(np.asarray(K.ke_qg(s.ph)))
-        cfl = float(np.asarray(K.cfl(s)))
+        """``niwqg/QGModel.py:554-578`` (one jitted fetch, see the wave
+        model's ``_print_status``)."""
+        K = self.kernel
+        if self._status_h is None:
+            from .utils.hoist import hoist
+
+            def f(s):
+                return (K.ke_qg(s.ph), K.cfl(s))
+
+            g, consts = hoist(f, self.state)
+            jf = jax.jit(g)
+            self._status_h = lambda s: jf(consts, s)
+        ke, cfl = (float(v) for v in
+                   jax.device_get(self._status_h(self.state)))
         self.logger.info(
             "Step: %i, Time: %4.3e, P: %4.3e , Ke: %4.3e, CFL: %4.3f",
             self.tc, self.t, self.t / self.params.tmax, ke, cfl,
