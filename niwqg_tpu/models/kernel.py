@@ -382,9 +382,17 @@ class WaveKernel:
     # ------------------------------------------------------------------
     # one ETDRK4 step (``niwqg/Kernel.py:307-398``)
     # ------------------------------------------------------------------
+    @staticmethod
+    def _mulf(x, f):
+        """Stage filter multiply; ``f=None`` means the filter is folded
+        into the ETDRK4 tables (FastWaveKernel ``fold_filter``) and the
+        explicit pass is skipped."""
+        return x if f is None else x * f
+
     def step(self, s: WaveState) -> WaveState:
         cq, cw = self.coefs_q, self.coefs_w
         fq, fw = self._flt_q, self._flt_w
+        mulf = self._mulf
         dt = self._s(self.params.dt)
         want = self.params.compute_budgets
 
@@ -397,37 +405,37 @@ class WaveKernel:
         # -- stage 1 (sources from carried state)
         Fn0, Fn0w, src1 = self.stage_terms(s.qh, s.phih, s.d, want)
         qh0, phih0 = s.qh, s.phih
-        qh = (cq.expch_h * qh0 + Fn0 * cq.Qh) * fq
+        qh = mulf(cq.expch_h * qh0 + Fn0 * cq.Qh, fq)
         if skew:
             Fn0w = reFnw(qh, s.d)
-        phih = (cw.expch_h * phih0 + Fn0w * cw.Qh) * fw
+        phih = mulf(cw.expch_h * phih0 + Fn0w * cw.Qh, fw)
         qh1, phih1 = qh, phih
         D = self.derive(qh, phih, s.d)
 
         # -- stage 2
         Fna, Fnaw, src2 = self.stage_terms(qh, phih, D, want)
-        qh = (cq.expch_h * qh0 + Fna * cq.Qh) * fq
+        qh = mulf(cq.expch_h * qh0 + Fna * cq.Qh, fq)
         if skew:
             Fnaw = reFnw(qh, D)
-        phih = (cw.expch_h * phih0 + Fnaw * cw.Qh) * fw
+        phih = mulf(cw.expch_h * phih0 + Fnaw * cw.Qh, fw)
         D = self.derive(qh, phih, D)
 
         # -- stage 3
         Fnb, Fnbw, src3 = self.stage_terms(qh, phih, D, want)
-        qh = (cq.expch_h * qh1 + (2.0 * Fnb - Fn0) * cq.Qh) * fq
+        qh = mulf(cq.expch_h * qh1 + (2.0 * Fnb - Fn0) * cq.Qh, fq)
         if skew:
             Fnbw = reFnw(qh, D)
-        phih = (cw.expch_h * phih1 + (2.0 * Fnbw - Fn0w) * cw.Qh) * fw
+        phih = mulf(cw.expch_h * phih1 + (2.0 * Fnbw - Fn0w) * cw.Qh, fw)
         D = self.derive(qh, phih, D)
 
         # -- stage 4 + final combination
         Fnc, Fncw, src4 = self.stage_terms(qh, phih, D, want)
-        qh = (cq.expch * qh0 + Fn0 * cq.f0 + 2.0 * (Fna + Fnb) * cq.fab
-              + Fnc * cq.fc) * fq
+        qh = mulf(cq.expch * qh0 + Fn0 * cq.f0 + 2.0 * (Fna + Fnb) * cq.fab
+                   + Fnc * cq.fc, fq)
         if skew:
             Fncw = reFnw(qh, D)
-        phih = (cw.expch * phih0 + Fn0w * cw.f0 + 2.0 * (Fnaw + Fnbw) * cw.fab
-                + Fncw * cw.fc) * fw
+        phih = mulf(cw.expch * phih0 + Fn0w * cw.f0
+                     + 2.0 * (Fnaw + Fnbw) * cw.fab + Fncw * cw.fc, fw)
 
         if self.params.compute_budgets:
             Ke = s.Ke + dt * (src1.k + 2.0 * (src2.k + src3.k) + src4.k) / 6.0

@@ -27,7 +27,8 @@ BASELINE_PTS = 20.0 * 128 * 128
 
 def _build(nx: int, budgets: bool, pre: bool, form: str = "dotgen",
            n1: int = 0, model: str = "coupled", sb: bool = True,
-           mb: int = 0, rp: str = "", pair: bool = False):
+           mb: int = 0, rp: str = "", pair: bool = False,
+           ff: bool = False):
     from niwqg_tpu import CoupledModel, QGModel, YBJModel
     from niwqg_tpu import InitialConditions as ic
 
@@ -56,6 +57,8 @@ def _build(nx: int, budgets: bool, pre: bool, form: str = "dotgen",
                            nu4w=7.5e9, transform_opts=topts)
     else:
         kkw = {"pair_inverse": True} if pair else {}
+        if ff:
+            kkw["fold_filter"] = True
         m = CoupledModel.Model(
             L=L, nx=nx, dt=157.0, tmax=157.0 * 100,
             m=1.0 / 325, N=0.005, f=1e-4, use_filter=True,
@@ -75,9 +78,10 @@ def _build(nx: int, budgets: bool, pre: bool, form: str = "dotgen",
 
 def measure(nx: int, budgets: bool, nsteps: int, pre: bool = True,
             form: str = "dotgen", n1: int = 0, model: str = "coupled",
-            sb: bool = True, mb: int = 0, rp: str = "", pair: bool = False):
+            sb: bool = True, mb: int = 0, rp: str = "", pair: bool = False,
+            ff: bool = False):
     t_b = time.time()
-    m = _build(nx, budgets, pre, form, n1, model, sb, mb, rp, pair)
+    m = _build(nx, budgets, pre, form, n1, model, sb, mb, rp, pair, ff)
     print(f"STAGE built nx={nx} pair={int(pair)} "
           f"build_s={time.time() - t_b:.0f}", flush=True)
     run = m._chunk(nsteps)
@@ -101,7 +105,7 @@ def measure(nx: int, budgets: bool, nsteps: int, pre: bool = True,
     pts = sps * nx * nx
     print(f"RESULT model={model} nx={nx} budgets={int(budgets)} "
           f"sb={int(sb)} form={form} n1={n1} mb={mb} rp={rp or 'auto'} "
-          f"pair={int(pair)} steps/s={sps:.2f} "
+          f"pair={int(pair)} ff={int(ff)} steps/s={sps:.2f} "
           f"pts/s={pts:.3e} vs_baseline={pts / BASELINE_PTS:.1f} "
           f"compile_s={compile_s:.0f} Ke={ke:.6e}", flush=True)
 
@@ -121,6 +125,7 @@ def main():
         model = "coupled"
         rp = ""
         pair = False
+        ff = False
         for p in parts[1:]:
             k, v = p.split("=")
             if k == "budgets":
@@ -143,10 +148,12 @@ def main():
                 rp = v
             elif k == "pair":
                 pair = v != "0"
+            elif k == "ff":
+                ff = v != "0"
         t0 = time.time()
         try:
             measure(nx, budgets, nsteps, pre, form, n1, model, sb, mb, rp,
-                    pair)
+                    pair, ff)
         except Exception as e:  # keep the sweep going
             print(f"RESULT nx={nx} budgets={int(budgets)} FAILED after "
                   f"{time.time() - t0:.0f}s: {e!r}", flush=True)
