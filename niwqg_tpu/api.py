@@ -791,10 +791,11 @@ class YBJModel(_WaveModel):
     model = " YBJ Model (Steady QG flow)"
 
     def _make_kernel(self, dtype, backend, precision, faithful_quirks=True,
-                     transform=None, transform_opts=None):
+                     transform=None, transform_opts=None, fold_filter=False):
         return YBJKernel(self.params, faithful_quirks=faithful_quirks,
                          dtype=dtype, backend=backend, precision=precision,
-                         transform=transform, transform_opts=transform_opts)
+                         transform=transform, transform_opts=transform_opts,
+                         fold_filter=fold_filter)
 
 
 class QGModel(_ModelBase):
@@ -809,7 +810,7 @@ class QGModel(_ModelBase):
                  overwrite=True, tsave_snapshots=10, tdiags=10,
                  path="output/", dtype=None, backend="auto",
                  precision="auto", mesh=None, transform_opts=None,
-                 spectral_budgets=True):
+                 spectral_budgets=True, fold_filter=False):
         del ny, tswrite
         self.params = QGParams(
             nx=nx, L=L, dt=dt, tmax=tmax, twrite=int(twrite), cflmax=0.5,
@@ -830,7 +831,8 @@ class QGModel(_ModelBase):
                                                       opts=kw.pop(
                                                           "transform_opts"))
         self.kernel = QGKernel(self.params, dtype=dtype, backend=backend,
-                               precision=precision, **kw)
+                               precision=precision, fold_filter=fold_filter,
+                               **kw)
         self.state = self._shard(self.kernel.zero_state())
         self._init_services(path, save_to_disk, overwrite,
                             diag_mod.qg_registry())

@@ -86,7 +86,7 @@ class QGKernel:
     def __init__(self, params: QGParams, dtype=np.float64,
                  backend: str = "auto", precision: str = "auto",
                  transform=None, spectrum: str = "half",
-                 transform_opts=None):
+                 transform_opts=None, fold_filter: bool = False):
         self.params = params
         self.dtype = np.dtype(dtype)
         self.spectrum = spectrum
@@ -118,6 +118,21 @@ class QGKernel:
         self.coefs_c = build_coefs(
             self.grid, linear_operator_c(self.grid, p.nu4c, p.nuc, p.muc), p.dt
         ) if p.passive_scalar else None
+        # pre-multiply the stage filter into the ETDRK4 tables and skip
+        # the explicit per-stage ``* filtr`` pass — pure reassociation
+        # (see FastWaveKernel.fold_filter). Measured 3.4% SLOWER for the
+        # QG step at 2048^2 (49.52 -> 47.86 steps/s same-process,
+        # sweep_qgybj_r4.log) even though it reads fewer tables — the
+        # shared filtr read across the q/c equations evidently schedules
+        # better than per-equation filtered copies. Default OFF here;
+        # the coupled fast kernel keeps it ON (+3.3% there).
+        self.fold_filter = bool(fold_filter)
+        if self.fold_filter:
+            f = self.grid.filtr
+            from ..etdrk4 import ETDRK4Coefs as _Coefs
+            self.coefs_q = _Coefs(*[t * f for t in self.coefs_q])
+            if self.coefs_c is not None:
+                self.coefs_c = _Coefs(*[t * f for t in self.coefs_c])
 
     def _s(self, x):
         return jnp.asarray(x, dtype=self.dtype)
@@ -275,10 +290,15 @@ class QGKernel:
                  if ch is not None else None)
         return jac_q, jac_c, u, v
 
+    @staticmethod
+    def _mulf(x, f):
+        return x if f is None else x * f
+
     def step(self, s: QGState) -> QGState:
         pr = self.params
         cq = self.coefs_q
-        flt = self.grid.filtr
+        flt = None if self.fold_filter else self.grid.filtr
+        mulf = self._mulf
         dt = self._s(pr.dt)
         scalar = pr.passive_scalar
 
@@ -286,12 +306,12 @@ class QGKernel:
         qh0, ch0 = s.qh, s.ch
         jac, jacc, u, v = self._stage_rhs(s.ph, s.qh, ch0 if scalar else None)
         Fn0 = -jac
-        qh = (cq.expch_h * qh0 + Fn0 * cq.Qh) * flt
+        qh = mulf(cq.expch_h * qh0 + Fn0 * cq.Qh, flt)
         qh1 = qh
         if scalar:
             cc = self.coefs_c
             Fn0c = -jacc
-            ch = (cc.expch_h * ch0 + Fn0c * cc.Qh) * flt
+            ch = mulf(cc.expch_h * ch0 + Fn0c * cc.Qh, flt)
             ch1 = ch
             c1 = self.ep_c_stage(ch)
         else:
@@ -302,10 +322,10 @@ class QGKernel:
         # stage 2
         jac, jacc, u, v = self._stage_rhs(ph, qh, ch if scalar else None)
         Fna = -jac
-        qh = (cq.expch_h * qh0 + Fna * cq.Qh) * flt
+        qh = mulf(cq.expch_h * qh0 + Fna * cq.Qh, flt)
         if scalar:
             Fnac = -jacc
-            ch = (cc.expch_h * ch0 + Fnac * cc.Qh) * flt
+            ch = mulf(cc.expch_h * ch0 + Fnac * cc.Qh, flt)
             c2 = self.ep_c_stage(ch)
         ph, p = self._invert_stage(qh)
         k2 = self.ep_psi(s.q, p, qh, ph, qh_q=s.qh)
@@ -313,10 +333,10 @@ class QGKernel:
         # stage 3
         jac, jacc, u, v = self._stage_rhs(ph, qh, ch if scalar else None)
         Fnb = -jac
-        qh = (cq.expch_h * qh1 + (2.0 * Fnb - Fn0) * cq.Qh) * flt
+        qh = mulf(cq.expch_h * qh1 + (2.0 * Fnb - Fn0) * cq.Qh, flt)
         if scalar:
             Fnbc = -jacc
-            ch = (cc.expch_h * ch1 + (2.0 * Fnbc - Fn0c) * cc.Qh) * flt
+            ch = mulf(cc.expch_h * ch1 + (2.0 * Fnbc - Fn0c) * cc.Qh, flt)
             c3 = self.ep_c_stage(ch)
         ph, p = self._invert_stage(qh)
         k3 = self.ep_psi(s.q, p, qh, ph, qh_q=s.qh)
@@ -324,13 +344,13 @@ class QGKernel:
         # stage 4 + final combination
         jac, jacc, u, v = self._stage_rhs(ph, qh, ch if scalar else None)
         Fnc = -jac
-        qh = (cq.expch * qh0 + Fn0 * cq.f0 + 2.0 * (Fna + Fnb) * cq.fab
-              + Fnc * cq.fc) * flt
+        qh = mulf(cq.expch * qh0 + Fn0 * cq.f0 + 2.0 * (Fna + Fnb) * cq.fab
+                   + Fnc * cq.fc, flt)
         cvar = s.cvar
         if scalar:
             Fncc = -jacc
-            ch = (cc.expch * ch0 + Fn0c * cc.f0 + 2.0 * (Fnac + Fnbc) * cc.fab
-                  + Fncc * cc.fc) * flt
+            ch = mulf(cc.expch * ch0 + Fn0c * cc.f0
+                       + 2.0 * (Fnac + Fnbc) * cc.fab + Fncc * cc.fc, flt)
             c4 = self.ep_c_stage(ch)
             cvar = s.cvar + dt * (c1 + 2.0 * (c2 + c3) + c4) / 6.0
 

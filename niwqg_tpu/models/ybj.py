@@ -48,11 +48,19 @@ class YBJKernel(WaveKernel):
 
     def __init__(self, params: KernelParams, faithful_quirks: bool = True,
                  dtype=np.float64, backend: str = "auto", precision: str = "auto",
-                 transform=None, transform_opts=None):
+                 transform=None, transform_opts=None,
+                 fold_filter: bool = False):
         super().__init__(params, YBJPhysics(), dtype=dtype, backend=backend,
                          precision=precision, transform=transform,
                          transform_opts=transform_opts)
         self.faithful_quirks = faithful_quirks
+        # pre-multiply the stage filter into the phi-equation tables
+        # (pure reassociation; see FastWaveKernel.fold_filter)
+        self.fold_filter = bool(fold_filter)
+        if self.fold_filter:
+            from ..etdrk4 import ETDRK4Coefs as _Coefs
+            f = self.grid.filtr
+            self.coefs_w = _Coefs(*[t * f for t in self.coefs_w])
 
     def _ybj_nonlinear(self, phih: C, s: WaveState):
         """-J(psi,phi)hat - 0.5j*fft(phi*q_psi) with frozen u,v,q_psi.
@@ -78,23 +86,24 @@ class YBJKernel(WaveKernel):
 
     def step(self, s: WaveState) -> WaveState:
         cw = self.coefs_w
-        flt = self.grid.filtr
+        flt = None if self.fold_filter else self.grid.filtr
+        mulf = self._mulf
         dt = self._s(self.params.dt)
 
         phih0 = s.phih
         Fn0w = self._ybj_nonlinear(phih0, s)
-        phih = (cw.expch_h * phih0 + Fn0w * cw.Qh) * flt
+        phih = mulf(cw.expch_h * phih0 + Fn0w * cw.Qh, flt)
         phih1 = phih
 
         Fnaw = self._ybj_nonlinear(phih, s)
-        phih = (cw.expch_h * phih0 + Fnaw * cw.Qh) * flt
+        phih = mulf(cw.expch_h * phih0 + Fnaw * cw.Qh, flt)
 
         Fnbw = self._ybj_nonlinear(phih, s)
-        phih = (cw.expch_h * phih1 + (2.0 * Fnbw - Fn0w) * cw.Qh) * flt
+        phih = mulf(cw.expch_h * phih1 + (2.0 * Fnbw - Fn0w) * cw.Qh, flt)
 
         Fncw = self._ybj_nonlinear(phih, s)
-        phih = (cw.expch * phih0 + Fn0w * cw.f0 + 2.0 * (Fnaw + Fnbw) * cw.fab
-                + Fncw * cw.fc) * flt
+        phih = mulf(cw.expch * phih0 + Fn0w * cw.f0
+                     + 2.0 * (Fnaw + Fnbw) * cw.fab + Fncw * cw.fc, flt)
 
         phi = self.tr.ifft2(phih)
         phix, phiy = spectral.gradients(self.tr, self.grid, phih)

@@ -46,7 +46,7 @@ def _build(nx: int, budgets: bool, pre: bool, form: str = "dotgen",
         m = QGModel.Model(L=L, nx=nx, dt=157.0, tmax=157.0 * 100,
                           beta=1e-11, nu4=7.5e9, use_filter=True,
                           passive_scalar=True, transform_opts=topts,
-                          spectral_budgets=sb)
+                          spectral_budgets=sb, fold_filter=ff)
         q = ic.LambDipole(m, U=U0, R=2 * np.pi / k0)
         m.set_q(q)
         m.set_c(np.asarray(q, dtype=np.float32).copy())
@@ -54,7 +54,8 @@ def _build(nx: int, budgets: bool, pre: bool, form: str = "dotgen",
     if model == "ybj":
         m = YBJModel.Model(L=L, nx=nx, dt=157.0, tmax=157.0 * 100,
                            m=1.0 / 325, N=0.005, f=1e-4, use_filter=True,
-                           nu4w=7.5e9, transform_opts=topts)
+                           nu4w=7.5e9, transform_opts=topts,
+                           fold_filter=ff)
     else:
         kkw = {"pair_inverse": True} if pair else {}
         if ff:
