@@ -14,7 +14,6 @@ adds ``beta * ik / wv2`` (``niwqg/QGModel.py:427-428``).
 
 from __future__ import annotations
 
-import dataclasses
 import os
 from typing import NamedTuple
 

@@ -17,13 +17,11 @@ uses the stage-consistent ``phi = ifft(phih)``.
 
 from __future__ import annotations
 
-import dataclasses
 
 import jax.numpy as jnp
 import numpy as np
 
 from ..carray import C, jmul, mul_i, stack, unstack
-from ..etdrk4 import build_coefs, linear_operator_phi
 from ..ops import spectral
 from .kernel import Derived, KernelParams, WaveKernel, WavePhysics, WaveState
 
