@@ -59,14 +59,10 @@ def main():
         os.path.join(os.path.dirname(os.path.abspath(__file__)),
                      ".jax_cache"))
     if cache_dir and cache_dir != "0":
-        try:
-            os.makedirs(cache_dir, exist_ok=True)
-            jax.config.update("jax_compilation_cache_dir", cache_dir)
-            jax.config.update("jax_persistent_cache_min_compile_time_secs",
-                              0.0)
-            jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
-        except (OSError, AttributeError):
-            pass
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        import niwqg_tpu
+
+        niwqg_tpu.enable_compile_cache(cache_dir)
 
     nx = int(os.environ.get("NIWQG_BENCH_NX", "2048"))
     nsteps = int(os.environ.get("NIWQG_BENCH_STEPS", "10"))

@@ -64,7 +64,10 @@ def _make_sharded_transform(nx, dtype, mesh, backend, precision, opts=None):
     plat = jax.default_backend()
     if backend == "mxu" or (backend == "auto" and plat not in ("cpu", "gpu",
                                                                "cuda", "rocm")):
+        # pencil-only options are ignored on the GSPMD MXU path
         opts.pop("overlap_chunks", None)
+        opts.pop("pallas_a2a", None)
+        opts.pop("pallas_interpret", None)
         return MXUTransform(nx, dtype, precision=precision, **opts)
     from .parallel.pfft import PencilTransform
 
@@ -161,6 +164,21 @@ class _ModelBase:
     def _refresh_jit(self, state):
         jit_g, _, consts = self._refresh_fns()
         return jit_g(consts, state)
+
+    def _status_scalars(self, make_fn):
+        """Status-line scalars via ONE hoisted jitted module + a single
+        ``device_get`` — evaluating them eagerly is ~15-30 op-by-op
+        dispatches through the remote backend per ``twrite``, which
+        dominated run()'s per-cadence-gap overhead (run_warmup_r4.log:
+        0.62 -> 0.49 s/gap at 2048^2, twrite=10)."""
+        if self._status_h is None:
+            from .utils.hoist import hoist
+
+            g, consts = hoist(make_fn, self.state)
+            jf = jax.jit(g)
+            self._status_h = lambda s: jf(consts, s)
+        return tuple(float(v) for v in
+                     jax.device_get(self._status_h(self.state)))
 
     def _chunk_with_diags(self, n: int):
         """Compiled ``lax.scan`` of ``n`` steps with the diagnostics cadence
@@ -678,26 +696,11 @@ class _WaveModel(_ModelBase):
         return self.registry.evaluate(K, state, aux)
 
     def _print_status(self):
-        """``niwqg/Kernel.py:568-598`` status line + CFL guard.
-
-        The four status scalars are evaluated by ONE jitted module and
-        fetched with one ``device_get``: evaluating them eagerly is
-        ~15-30 op-by-op dispatches through the remote backend, which
-        dominated the per-cadence-gap overhead of ``run()`` at tight
-        ``twrite`` (run_warmup_r4.log)."""
+        """``niwqg/Kernel.py:568-598`` status line + CFL guard."""
         K = self.kernel
-        if self._status_h is None:
-            from .utils.hoist import hoist
-
-            def f(s):
-                return (K.ke_qg(s.d.ph), K.ke_niw(s.d.phi),
-                        K.pe_niw(s.phih), K.cfl(s))
-
-            g, consts = hoist(f, self.state)
-            jf = jax.jit(g)
-            self._status_h = lambda s: jf(consts, s)
-        ke, kew, pew, cfl = (float(v) for v in
-                             jax.device_get(self._status_h(self.state)))
+        ke, kew, pew, cfl = self._status_scalars(
+            lambda s: (K.ke_qg(s.d.ph), K.ke_niw(s.d.phi),
+                       K.pe_niw(s.phih), K.cfl(s)))
         self.logger.info(
             "Step: %4i, Time: %2.1e, P: %2.1e, Ke: %4.3e, Kw: %4.3e, "
             "Pw: %4.3e, CFL: %3.2f",
@@ -911,20 +914,9 @@ class QGModel(_ModelBase):
         return self.registry.evaluate(K, state, aux)
 
     def _print_status(self):
-        """``niwqg/QGModel.py:554-578`` (one jitted fetch, see the wave
-        model's ``_print_status``)."""
+        """``niwqg/QGModel.py:554-578``."""
         K = self.kernel
-        if self._status_h is None:
-            from .utils.hoist import hoist
-
-            def f(s):
-                return (K.ke_qg(s.ph), K.cfl(s))
-
-            g, consts = hoist(f, self.state)
-            jf = jax.jit(g)
-            self._status_h = lambda s: jf(consts, s)
-        ke, cfl = (float(v) for v in
-                   jax.device_get(self._status_h(self.state)))
+        ke, cfl = self._status_scalars(lambda s: (K.ke_qg(s.ph), K.cfl(s)))
         self.logger.info(
             "Step: %i, Time: %4.3e, P: %4.3e , Ke: %4.3e, CFL: %4.3f",
             self.tc, self.t, self.t / self.params.tmax, ke, cfl,

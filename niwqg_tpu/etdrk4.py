@@ -48,7 +48,8 @@ def _contour_phis(ch: np.ndarray, dt: float, M: int = 32, rho: float = 1.0):
     Evaluated in row chunks: the naive ``ch[..., None] + r`` broadcast
     (``niwqg/Kernel.py:427-433``) materialises several ``(nl, nk, M)``
     complex128 temporaries — ~13 GB of peak host RAM at 2048², OOM at
-    4096². Chunking bounds the peak at ~100 MB with identical results.
+    4096². Chunking bounds the peak at ~0.5-1 GB total (the per-chunk
+    element budget is divided by the worker count) with identical results.
 
     Chunks are evaluated by a thread pool: the work is numpy
     transcendental ufuncs, which release the GIL, and the single-thread
@@ -65,7 +66,13 @@ def _contour_phis(ch: np.ndarray, dt: float, M: int = 32, rho: float = 1.0):
     fab = np.empty_like(ch)
     fc = np.empty_like(ch)
     nl = ch.shape[0]
-    rows = max(1, min(nl, (8 << 20) // max(1, ch.shape[1] * M)))
+    nworkers = min(int(os.environ.get("NIWQG_ETDRK4_WORKERS", "0"))
+                   or (os.cpu_count() or 1), 16)
+    # per-chunk element budget divided by the worker count: nworkers
+    # chunks hold their (rows, nk, M) temporaries concurrently, so the
+    # TOTAL peak stays at the single-threaded bound (~0.5-1 GB)
+    rows = max(1, min(nl, (8 << 20) // max(1, ch.shape[1] * M)
+                      // max(1, nworkers)))
 
     # row symmetry (see below): only rows [0, nl_eval) are evaluated
     nl_eval = nl
@@ -92,8 +99,6 @@ def _contour_phis(ch: np.ndarray, dt: float, M: int = 32, rho: float = 1.0):
     # half and copy the mirror rows — exact, 2x fewer transcendentals.
     mirror = nl_eval != nl
 
-    nworkers = min(int(os.environ.get("NIWQG_ETDRK4_WORKERS", "0"))
-                   or (os.cpu_count() or 1), 16)
     starts = list(range(0, nl_eval, rows))
     if nworkers > 1 and len(starts) > 1:
         with ThreadPoolExecutor(max_workers=nworkers) as ex:
@@ -105,6 +110,13 @@ def _contour_phis(ch: np.ndarray, dt: float, M: int = 32, rho: float = 1.0):
         for out in (Qh, f0, fab, fc):
             out[nl // 2 + 1:] = out[1:nl // 2][::-1]
     return Qh, f0, fab, fc
+
+
+def fold_filter_into(coefs: ETDRK4Coefs, filtr) -> ETDRK4Coefs:
+    """Pre-multiply the stage filter into every coefficient table so the
+    stepper can skip its explicit ``* filtr`` pass (pure reassociation;
+    see FastWaveKernel ``fold_filter``)."""
+    return ETDRK4Coefs(*[t * filtr for t in coefs])
 
 
 def build_coefs(grid: Grid, c: np.ndarray, dt: float) -> ETDRK4Coefs:

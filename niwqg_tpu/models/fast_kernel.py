@@ -19,8 +19,9 @@ Same ETDRK4 stage structure, budget integration and physics as
     unpack leaked ``eps*||big||`` noise between paired fields and NaN'd a
     100-step 4096² f32 run once the k² wave-PV factors amplified it.
     (``pair_inverse=True`` revisits packing in the INVERSE direction
-    only, where inputs are Hermitian by construction and the unpack is
-    the re/im planes themselves — no spectrum-side leak path; see
+    only, where inputs are Hermitian up to rounding and the unpack is
+    the re/im planes themselves, so the residual leak is physical-space
+    eps-grade noise rather than k²-amplified spectrum noise; see
     ``__init__`` below and ``ops/fft._pairs_via_ifft2``);
   - with ``spectral_budgets=True`` (default) the per-stage energy-budget
     sources (``niwqg/Kernel.py:629-701``) are evaluated by Parseval
@@ -100,6 +101,14 @@ class FastWaveKernel(WaveKernel):
                 raise ValueError(
                     "pair_inverse needs even nx and a transform provider "
                     "with ifft2_real_pairs")
+            if not physics.hermitian_ph:
+                # same constraint as q_half: QL keeps ph UNPROJECTED
+                # (``QLModel.py:86``), whose anti-Hermitian content the
+                # packed inverse would deposit on the partner field
+                # (verified: ~3e-4 phi corruption in 4 f64 steps)
+                raise ValueError(
+                    "pair_inverse requires Hermitian-projecting physics "
+                    f"({type(physics).__name__} keeps ph unprojected)")
             q_half = False
         if q_half is None:
             q_half = (params.nx % 2 == 0 and hasattr(self.tr, "rfft2")
@@ -152,13 +161,20 @@ class FastWaveKernel(WaveKernel):
             # full-spectrum q side + pair-packed inverse reads: every
             # stacked ifft2_real batch rides nf/2 complex inverses. The
             # O(ny) 2-column projection replaces the reference's full
-            # fft(real(ifft(.))) sandwich: interior mirror columns are
-            # bitwise Hermitian by construction in this kernel (forward
-            # real transforms expand exact mirrors; every table multiply
-            # is conjugate-symmetric across paired columns), so only the
-            # self-mirror columns k=0, nx/2 can drift off the Hermitian
-            # subspace (mean-flow advection phase) — asserted against the
-            # default path in tests/test_pair_inverse.py.
+            # fft(real(ifft(.))) sandwich: interior mirror columns stay
+            # Hermitian up to rounding (the MXU forward real path expands
+            # exact mirrors and table multiplies are conjugate-symmetric
+            # to <=1 ulp; contour tables with U != 0 and the native-FFT
+            # provider are conjugate-symmetric only to rounding), so only
+            # the self-mirror columns k=0, nx/2 carry systematic
+            # anti-Hermitian content (mean-flow advection phase).
+            # Residual rounding-grade asymmetry lands on the partner
+            # field as eps*||q||-scale noise — measured ~9e-5 relative Ke
+            # divergence over 20 f32 steps at 4096^2 (PERFORMANCE.md),
+            # 1e-11-exact in f64 (tests/test_pair_inverse.py). The mode
+            # is opt-in (measured slower single-chip; an ICI lever on
+            # pencil meshes) — validate long-horizon f32 stability before
+            # production use.
             nx_ = params.nx
 
             def _inv_real_pairs(z):
@@ -215,9 +231,10 @@ class FastWaveKernel(WaveKernel):
             # for the fast kernel: measured +3.3% full-step at 2048^2 on
             # the target chip, tie at 4096^2, identical Ke printed
             # (``scripts/sweep_ff_r4.log``).
-            fq, fw = self._flt_q, self._flt_w
-            self.coefs_q = ETDRK4Coefs(*[t * fq for t in self.coefs_q])
-            self.coefs_w = ETDRK4Coefs(*[t * fw for t in self.coefs_w])
+            from ..etdrk4 import fold_filter_into
+
+            self.coefs_q = fold_filter_into(self.coefs_q, self._flt_q)
+            self.coefs_w = fold_filter_into(self.coefs_w, self._flt_w)
             self._flt_q = None
             self._flt_w = None
 

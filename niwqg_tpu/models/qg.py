@@ -127,11 +127,12 @@ class QGKernel:
         # the coupled fast kernel keeps it ON (+3.3% there).
         self.fold_filter = bool(fold_filter)
         if self.fold_filter:
+            from ..etdrk4 import fold_filter_into
+
             f = self.grid.filtr
-            from ..etdrk4 import ETDRK4Coefs as _Coefs
-            self.coefs_q = _Coefs(*[t * f for t in self.coefs_q])
+            self.coefs_q = fold_filter_into(self.coefs_q, f)
             if self.coefs_c is not None:
-                self.coefs_c = _Coefs(*[t * f for t in self.coefs_c])
+                self.coefs_c = fold_filter_into(self.coefs_c, f)
 
     def _s(self, x):
         return jnp.asarray(x, dtype=self.dtype)

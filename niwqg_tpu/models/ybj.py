@@ -56,9 +56,9 @@ class YBJKernel(WaveKernel):
         # (pure reassociation; see FastWaveKernel.fold_filter)
         self.fold_filter = bool(fold_filter)
         if self.fold_filter:
-            from ..etdrk4 import ETDRK4Coefs as _Coefs
-            f = self.grid.filtr
-            self.coefs_w = _Coefs(*[t * f for t in self.coefs_w])
+            from ..etdrk4 import fold_filter_into
+
+            self.coefs_w = fold_filter_into(self.coefs_w, self.grid.filtr)
 
     def _ybj_nonlinear(self, phih: C, s: WaveState):
         """-J(psi,phi)hat - 0.5j*fft(phi*q_psi) with frozen u,v,q_psi.

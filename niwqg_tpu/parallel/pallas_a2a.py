@@ -41,7 +41,22 @@ from jax.experimental.pallas import tpu as pltpu
 from .mesh import AXIS
 
 
-def _fwd_kernel(nP, R, W, chunks, axis, x_ref, out_ref, send_sem, recv_sem):
+def _entry_barrier(nP, axis, barrier):
+    """Global barrier before any remote write: a fast device must not
+    start RDMAs into a peer's output (or signal its recv semaphores)
+    before that peer has entered the kernel — and because the fwd and
+    inv kernels run back-to-back every step, a sender could otherwise
+    race a receiver still draining the previous kernel's semaphores."""
+    me = lax.axis_index(axis)
+    for s in range(1, nP):
+        peer = lax.rem(me + jnp.int32(s), jnp.int32(nP))
+        pltpu.semaphore_signal(barrier, inc=1, device_id=peer,
+                               device_id_type=pltpu.DeviceIdType.LOGICAL)
+    pltpu.semaphore_wait(barrier, nP - 1)
+
+
+def _fwd_kernel(nP, R, W, chunks, axis, use_barrier, x_ref, out_ref,
+                send_sem, recv_sem, barrier_sem):
     """(R, nP*W) row block -> (nP*R, W) column pencil, direct exchange.
 
     Sender ``me`` writes its ``dst``-block into rows [me*R, (me+1)*R) of
@@ -49,6 +64,8 @@ def _fwd_kernel(nP, R, W, chunks, axis, x_ref, out_ref, send_sem, recv_sem):
     slot: all nP-1 peer transfers (x ``chunks`` column chunks each) are
     started before any wait, so they share the wire concurrently.
     """
+    if use_barrier:
+        _entry_barrier(nP, axis, barrier_sem)
     me = lax.axis_index(axis)
     cw = W // chunks
     # local block: plain VMEM/HBM copy
@@ -73,8 +90,11 @@ def _fwd_kernel(nP, R, W, chunks, axis, x_ref, out_ref, send_sem, recv_sem):
         r.wait()
 
 
-def _inv_kernel(nP, R, W, chunks, axis, x_ref, out_ref, send_sem, recv_sem):
+def _inv_kernel(nP, R, W, chunks, axis, use_barrier, x_ref, out_ref,
+                send_sem, recv_sem, barrier_sem):
     """(nP*R, W) column pencil -> (R, nP*W) row block (inverse layout)."""
+    if use_barrier:
+        _entry_barrier(nP, axis, barrier_sem)
     me = lax.axis_index(axis)
     cw = W // chunks
     out_ref[:, :, pl.ds(me * W, W)] = x_ref[:, pl.ds(me * R, R), :]
@@ -99,7 +119,7 @@ def _inv_kernel(nP, R, W, chunks, axis, x_ref, out_ref, send_sem, recv_sem):
         r.wait()
 
 
-def _call(kernel, nP, chunks, axis, out_shape, x, interpret):
+def _call(kernel, nP, chunks, axis, out_shape, x, interpret, cid):
     nsem = (nP - 1) * chunks
     return pl.pallas_call(
         kernel,
@@ -109,9 +129,12 @@ def _call(kernel, nP, chunks, axis, out_shape, x, interpret):
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[pltpu.SemaphoreType.DMA((nsem,)),
-                        pltpu.SemaphoreType.DMA((nsem,))],
+                        pltpu.SemaphoreType.DMA((nsem,)),
+                        pltpu.SemaphoreType.REGULAR],
+        # distinct collective_id per direction: the fwd and inv kernels
+        # run back-to-back each step and must not share barrier state
         compiler_params=pltpu.CompilerParams(has_side_effects=True,
-                                             collective_id=0),
+                                             collective_id=cid),
         interpret=interpret,
     )(x)
 
@@ -137,8 +160,13 @@ def all_to_all_fwd(z, nP: int, chunks: int = 1, axis: str = AXIS,
     while W % chunks:
         chunks -= 1
     p = _planes(z).reshape((-1, R, WP))
-    k = functools.partial(_fwd_kernel, nP, R, W, chunks, axis)
-    out = _call(k, nP, chunks, axis, (p.shape[0], nP * R, W), p, interpret)
+    # entry barrier only in compiled mode: the interpreter neither
+    # implements remote semaphore signals nor needs the barrier (its
+    # per-device execution is already serialized by the host)
+    k = functools.partial(_fwd_kernel, nP, R, W, chunks, axis,
+                          not interpret)
+    out = _call(k, nP, chunks, axis, (p.shape[0], nP * R, W), p, interpret,
+                cid=0)
     out = out.reshape(lead + (2, nP * R, W))
     return _unplanes(out)
 
@@ -154,7 +182,9 @@ def all_to_all_inv(z, nP: int, chunks: int = 1, axis: str = AXIS,
     while W % chunks:
         chunks -= 1
     p = _planes(z).reshape((-1, RP, W))
-    k = functools.partial(_inv_kernel, nP, R, W, chunks, axis)
-    out = _call(k, nP, chunks, axis, (p.shape[0], R, nP * W), p, interpret)
+    k = functools.partial(_inv_kernel, nP, R, W, chunks, axis,
+                          not interpret)
+    out = _call(k, nP, chunks, axis, (p.shape[0], R, nP * W), p, interpret,
+                cid=1)
     out = out.reshape(lead + (2, R, nP * W))
     return _unplanes(out)
