@@ -95,3 +95,14 @@ def test_pair_inverse_mxu_matches_native():
 def test_pair_inverse_rejects_q_half():
     with pytest.raises(ValueError):
         _coupled(nsteps=1, pair_inverse=True, q_half=True)
+
+
+def test_pair_inverse_rejects_unprojected_ph_physics():
+    """QL keeps ph unprojected; its anti-Hermitian content would land on
+    the packed partner field (~3e-4 phi corruption in 4 f64 steps when
+    this guard was missing)."""
+    from niwqg_tpu import QLModel
+
+    with pytest.raises(ValueError, match="unprojected"):
+        QLModel.Model(nx=32, fast=True, faithful_quirks=True,
+                      pair_inverse=True)
