@@ -66,8 +66,11 @@ def _contour_phis(ch: np.ndarray, dt: float, M: int = 32, rho: float = 1.0):
     fab = np.empty_like(ch)
     fc = np.empty_like(ch)
     nl = ch.shape[0]
-    nworkers = min(int(os.environ.get("NIWQG_ETDRK4_WORKERS", "0"))
-                   or (os.cpu_count() or 1), 16)
+    try:
+        nworkers_env = int(os.environ.get("NIWQG_ETDRK4_WORKERS", "0"))
+    except ValueError:
+        nworkers_env = 0  # malformed env var -> auto (cpu_count)
+    nworkers = min(nworkers_env or (os.cpu_count() or 1), 16)
     # per-chunk element budget divided by the worker count: nworkers
     # chunks hold their (rows, nk, M) temporaries concurrently, so the
     # TOTAL peak stays at the single-threaded bound (~0.5-1 GB)

@@ -132,17 +132,27 @@ def _pairs_via_ifft2(tr, zh: C):
     spectra are bitwise Hermitian except the two self-mirror columns
     ``k=0, nx/2`` (mean-flow advection phase), which
     ``spectral.hermitian_project_half`` fixes in O(ny) per field.
+
+    All pairs are packed into ONE ``(nf//2, ny, nx)`` stack and inverted
+    by a single batched ``tr.ifft2`` call (leading-axis slicing only), so
+    on the pencil provider the whole group rides one batched all_to_all
+    transpose instead of one collective per pair.
     """
     nf = zh.re.shape[0]
+    npairs = nf // 2
     outs = []
-    for j in range(0, nf - 1, 2):
-        A = C(zh.re[j], zh.im[j])
-        B = C(zh.re[j + 1], zh.im[j + 1])
-        z = tr.ifft2(C(A.re - B.im, A.im + B.re))
-        outs.extend([z.re, z.im])
+    if npairs:
+        # pack: ifft2(A + iB) for A=plane 2j, B=plane 2j+1
+        ev = slice(0, 2 * npairs, 2)
+        od = slice(1, 2 * npairs, 2)
+        z = tr.ifft2(C(zh.re[ev] - zh.im[od], zh.im[ev] + zh.re[od]))
+        # unpack: interleave (a_j, b_j) = (re_j, im_j) back to field order
+        shp = z.re.shape
+        outs.append(jnp.stack([z.re, z.im], axis=1).reshape(
+            (2 * npairs,) + shp[1:]))
     if nf % 2:
-        outs.append(tr.ifft2_real(C(zh.re[-1], zh.im[-1])))
-    return jnp.stack(outs)
+        outs.append(tr.ifft2_real(C(zh.re[-1:], zh.im[-1:])))
+    return outs[0] if len(outs) == 1 else jnp.concatenate(outs)
 
 
 # ----------------------------------------------------------------------

@@ -220,7 +220,14 @@ class PencilTransform:
                 in_specs=tuple(spec(k) for k in in_kinds),
                 out_specs=tuple(spec(k) for k in out_kinds),
                 # the interpret-mode Pallas RDMA kernel's internals mix
-                # varying/invariant values the vma checker can't follow
+                # varying/invariant values the vma checker can't follow.
+                # check_vma is a per-shard_map flag, so it cannot be
+                # scoped to just the pallas branch within this transform;
+                # it is only disabled when pallas_a2a is requested, and
+                # the default lax.all_to_all path keeps full vma checking.
+                # On-hardware bring-up protocol (ADVICE r4): validate the
+                # default path's parity asserts compiled on real ICI
+                # FIRST, then A/B pallas_a2a=True against it.
                 check_vma=not self.pallas_a2a,
             )
             self._smap_cache[key] = fn
