@@ -512,7 +512,7 @@ class FastWaveKernel(WaveKernel):
         # same semantics as the base (``niwqg/Kernel.py:520-551``): invert
         # with the *carried* phi/gradients, preserve the carried wave
         # fields, refresh Ke
-        q = jnp.asarray(np.asarray(q, dtype=self.dtype))
+        q = self._cast_field(q)
         qh = self._fwd_real(q)
         D = self._invert_core(qh, s.d.phi, s.d.phix, s.d.phiy)
         D = D._replace(phi=s.d.phi, phix=s.d.phix, phiy=s.d.phiy)

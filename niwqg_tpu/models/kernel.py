@@ -463,10 +463,17 @@ class WaveKernel:
         return WaveState(t=zero, tc=jnp.asarray(0, jnp.int32), qh=z, phih=z,
                          d=D, Ke=zero, Pw=zero, Kw=zero)
 
+    def _cast_field(self, q):
+        """Model-dtype cast that is also jit-traceable (the model shells
+        queue set_* calls and flush them through one jitted apply)."""
+        if not isinstance(q, jax.Array):
+            q = np.asarray(q, dtype=self.dtype)
+        return jnp.asarray(q).astype(self.dtype)
+
     def apply_set_q(self, s: WaveState, q) -> WaveState:
         """``set_q``: transform, invert with the *current* phi (zero right
         after construction — the reference quirk), compute Ke."""
-        q = jnp.asarray(np.asarray(q, dtype=self.dtype))
+        q = self._cast_field(q)
         qh = self.tr.fft2_real(q)
         D = self.physics.invert(self, qh, s.phih, s.d.phi)
         u, v = spectral.velocities(self.tr, self.grid, D.ph)
@@ -482,7 +489,7 @@ class WaveKernel:
         the reference stores them, ``niwqg/Kernel.py:608-611``) and Kw."""
         if isinstance(phi, C):
             phi_c = phi.astype(self.dtype)
-        else:
+        else:  # eager-only convenience path (not jit-traceable)
             phi_np = np.asarray(phi)
             phi_c = C.from_complex(phi_np, dtype=self.dtype)
         phih = self.tr.fft2(phi_c)

@@ -24,6 +24,7 @@ from __future__ import annotations
 import dataclasses
 from typing import NamedTuple, Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -376,17 +377,27 @@ class QGKernel:
         return QGState(t=zero, tc=jnp.asarray(0, jnp.int32), qh=z, ch=z,
                        ph=z, p=r, q=r, c=r, u=r, v=r, Ke=zero, cvar=zero)
 
+    def _cast_field(self, q):
+        """Model-dtype cast that is also jit-traceable (the model shell
+        queues set_* calls and flushes them through one jitted apply)."""
+        if not isinstance(q, jax.Array):
+            q = np.asarray(q, dtype=self.dtype)
+        return jnp.asarray(q).astype(self.dtype)
+
     def apply_set_q(self, s: QGState, q) -> QGState:
         """``QGModel.set_q`` (``QGModel.py:507-520``)."""
-        q = jnp.asarray(np.asarray(q, dtype=self.dtype))
+        q = self._cast_field(q)
         qh = self._fwd(q)
         ph, p = self._invert(qh)
         Ke = self.ke_qg(ph)
         return s._replace(qh=qh, ph=ph, p=p, q=q, Ke=Ke)
 
     def apply_set_c(self, s: QGState, c) -> QGState:
-        """``QGModel.set_c`` (``QGModel.py:522-534``)."""
-        c = jnp.asarray(np.real(np.asarray(c)).astype(self.dtype))
+        """``QGModel.set_c`` (``QGModel.py:522-534``; the reference relied
+        on numpy's silent imag-discard in ``rfft2(complex)``)."""
+        if not isinstance(c, jax.Array):
+            c = np.real(np.asarray(c)).astype(self.dtype)
+        c = jnp.real(jnp.asarray(c)).astype(self.dtype)
         ch = self._fwd(c)
         cvar = self.spec_var(ch)
         return s._replace(ch=ch, c=c, cvar=cvar)

@@ -110,7 +110,7 @@ class YBJKernel(WaveKernel):
 
     def apply_set_q(self, s: WaveState, q) -> WaveState:
         """Frozen-flow setup (``Kernel.set_q`` with YBJ ``_invert``)."""
-        q = jnp.asarray(np.asarray(q, dtype=self.dtype))
+        q = self._cast_field(q)
         qh = self.tr.fft2_real(q)
         ph = -(qh * self.grid.wv2i)
         u, v = spectral.velocities(self.tr, self.grid, ph)

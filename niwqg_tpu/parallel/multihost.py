@@ -28,9 +28,14 @@ def initialize(coordinator_address: Optional[str] = None,
     already initialized or single-process."""
     if jax.process_count() > 1:
         return
-    try:
+    if coordinator_address is not None or num_processes is not None:
+        # explicit bootstrap: surface failures (a silently-local "pod"
+        # run would compute garbage per-host results)
         jax.distributed.initialize(coordinator_address, num_processes,
                                    process_id)
+        return
+    try:
+        jax.distributed.initialize()
     except (ValueError, RuntimeError):
         # single-process / env not set: stay local
         pass
@@ -43,8 +48,20 @@ def global_mesh():
 
 def host_local_rows(nx: int) -> slice:
     """The row range of the global (ny, nx) grid owned by this process
-    under the row-sharded physical layout."""
+    under the row-sharded physical layout.
+
+    ``nx`` must be divisible by the process count — the pencil layout
+    has no ragged-row mode (and ``PencilTransform`` requires nx divisible
+    by the *device* count, a stronger condition). Fail loudly rather
+    than silently dropping trailing rows (VERDICT r4 item 7)."""
     n_proc = jax.process_count()
+    if nx % n_proc:
+        raise ValueError(
+            f"nx={nx} is not divisible by the process count {n_proc}; "
+            "the row-sharded host layout would drop trailing rows. Pick "
+            "nx as a multiple of the process count (pencil execution "
+            "additionally needs nx divisible by the total device count)."
+        )
     rows = nx // n_proc
     r0 = jax.process_index() * rows
     return slice(r0, r0 + rows)
@@ -55,6 +72,16 @@ def make_global_field(mesh, field_local: np.ndarray, nx: int):
     (``jax.make_array_from_process_local_data``)."""
     from jax.sharding import NamedSharding, PartitionSpec as P
 
+    n_proc = jax.process_count()
+    if nx % n_proc:
+        raise ValueError(
+            f"nx={nx} is not divisible by the process count {n_proc} "
+            "(see host_local_rows)")
+    expect_rows = nx // n_proc
+    if field_local.shape[0] != expect_rows:
+        raise ValueError(
+            f"host-local block has {field_local.shape[0]} rows, expected "
+            f"{expect_rows} (= nx/process_count)")
     sharding = NamedSharding(mesh, P(AXIS, None))
     return jax.make_array_from_process_local_data(
         sharding, field_local, global_shape=(nx, nx)

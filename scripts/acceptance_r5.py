@@ -1,0 +1,177 @@
+"""Production-size energy-budget acceptance (VERDICT r4 items 1 + 6).
+
+The BASELINE north star: a large coupled Lamb-dipole run whose
+RK4-integrated Ke/Kw/Pw budgets track the instantaneous energies — the
+reference's strongest oracle (`/root/reference/niwqg/tests/test_diagnostics.py:23-36`)
+— exercised AT SCALE on the chip, with a **WavePacket** phi so the
+wave-gradient budget terms (Pw, gamma, xi) carry real signal (a uniform
+phi leaves them degenerate, VERDICT r4 missing 1).
+
+Each invocation runs ONE leg and writes an .npz with the budget series
+and endpoint fields; the `compare` mode overlays a chip f32 leg against
+its CPU f64 twin (same config, same steps) to anchor the f32 drift.
+
+Config: filter OFF so the budget is exactly closed (filter dissipation
+is untracked, in the reference too; all nu/nu4/nuw/nu4w terms ARE in the
+budget), CFL-safe dt, resolution-scaled dissipation (scale_run.py
+recipe).
+
+Usage:
+  NIWQG_ACC_NX=2048 NIWQG_ACC_STEPS=300 python scripts/acceptance_r5.py run out.npz
+  python scripts/acceptance_r5.py compare chip.npz cpu64.npz
+"""
+
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def build(nx, nsteps):
+    from niwqg_tpu import CoupledModel
+    from niwqg_tpu import InitialConditions as ic
+
+    U0 = 0.05
+    L = 2 * np.pi * 200e3
+    k0 = 10 * (2 * np.pi / L)
+    A = 5 * U0  # packet amplitude (the reference example's phi scale)
+
+    # CFL-safe dt: dominant speed is the packet amplitude
+    dx = L / nx
+    cfl_target = float(os.environ.get("NIWQG_ACC_CFL", "0.4"))
+    dt = cfl_target * dx / A
+
+    # resolution-scaled dissipation (scale_run.py recipe; all terms are
+    # tracked by the budget, so closure is unaffected by their size)
+    s = 128.0 / nx
+    m = CoupledModel.Model(
+        L=L, nx=nx, tmax=nsteps * dt, dt=dt, m=2 * np.pi / 280, N=0.01,
+        f=1e-4, nu4=5e11 * s**3, nu4w=5e11 * s**3, nu=20.0 * s**2,
+        nuw=50.0 * s**2, use_filter=False, U=-U0, tdiags=nsteps + 1,
+    )
+    q = ic.LambDipole(m, U=U0, R=2 * np.pi / k0)
+    m.set_q(q)
+    # Gaussian NIW packet, carrier at 2x the dipole wavenumber, centred
+    # on the dipole so refraction/advection generate wave gradients
+    phi = np.asarray(ic.WavePacket(m, k=2 * k0, l=0, R=2 * np.pi / k0,
+                                   x0=m.L / 2, y0=m.L / 2)) * A
+    m.set_phi(phi)
+    return m
+
+
+def run_leg(out_path):
+    import jax
+
+    if jax.default_backend() == "cpu":
+        jax.config.update("jax_enable_x64", True)
+
+    nx = int(os.environ.get("NIWQG_ACC_NX", "2048"))
+    nsteps = int(os.environ.get("NIWQG_ACC_STEPS", "300"))
+    chunk = int(os.environ.get("NIWQG_ACC_CHUNK", "25"))
+
+    t_build0 = time.time()
+    m = build(nx, nsteps)
+    K = m.kernel
+    state = m.state  # flush lazy set_q/set_phi
+    print(f"build: {time.time() - t_build0:.0f}s nx={nx} dt={m.dt:.1f}s "
+          f"dtype={K.dtype} backend={jax.default_backend()}", flush=True)
+
+    run = m._chunk(chunk)
+    rows = []  # (step, Ke, ke_inst, Kw, kw_inst, Pw, pw_inst, closure)
+    t0 = time.time()
+    t_first = None
+    for i in range(nsteps // chunk):
+        state = run(state)
+        if t_first is None:
+            t_first = time.time()
+        ke_i = float(np.asarray(K.ke_qg(state.d.ph)))
+        kw_i = float(np.asarray(K.ke_niw(state.d.phi)))
+        pw_i = float(np.asarray(K.pe_niw(state.phih)))
+        Ke = float(np.asarray(state.Ke))
+        Kw = float(np.asarray(state.Kw))
+        Pw = float(np.asarray(state.Pw))
+        scale = max(abs(ke_i), abs(kw_i), abs(pw_i))
+        rel = max(abs(Ke - ke_i), abs(Kw - kw_i), abs(Pw - pw_i)) / scale
+        step = (i + 1) * chunk
+        rows.append((step, Ke, ke_i, Kw, kw_i, Pw, pw_i, rel))
+        print(f"step {step:4d}: Ke={Ke:.6e} (inst {ke_i:.6e}) "
+              f"Kw={Kw:.6e} (inst {kw_i:.6e}) Pw={Pw:.6e} "
+              f"(inst {pw_i:.6e}) closure={rel:.2e} "
+              f"[{time.time() - t0:.0f}s]", flush=True)
+        if not np.isfinite(rel):
+            print(f"NON-FINITE at step <= {step}", flush=True)
+            break
+    wall = time.time() - t0
+    nsteady = max(0, len(rows) * chunk - chunk)
+    sps = nsteady / (time.time() - t_first) if (t_first and nsteady) else 0.0
+    print(f"{nx}^2 x {len(rows) * chunk} steps in {wall:.0f}s "
+          f"(steady {sps:.2f} steps/s)", flush=True)
+
+    rows = np.asarray(rows)
+    np.savez_compressed(
+        out_path, rows=rows, nx=nx, dt=float(m.dt),
+        dtype=str(K.dtype), backend=jax.default_backend(),
+        q=np.asarray(m.q, dtype=np.float64),
+        phi=np.asarray(m.phi, dtype=np.complex128),
+    )
+    print(f"wrote {out_path}", flush=True)
+
+    worst = float(np.max(rows[:, 7])) if np.all(np.isfinite(rows[:, 7])) \
+        else float("nan")
+    # f32 tolerance: RK4 truncation (~1e-6) + f32 transform rounding
+    # accumulating over a few hundred steps; f64 is truncation-limited
+    tol = 5e-3 if K.dtype == np.float32 else 2e-5
+    ok = bool(np.isfinite(worst)) and worst < tol and \
+        len(rows) * chunk >= nsteps
+    print(f"worst closure over {len(rows) * chunk} steps: {worst:.2e} "
+          f"(tol {tol:.0e})")
+    print("ACCEPTANCE:", "PASS" if ok else "FAIL")
+    return 0 if ok else 1
+
+
+def compare(chip_path, cpu_path):
+    """Anchor the chip f32 leg against its CPU f64 twin."""
+    a, b = np.load(chip_path), np.load(cpu_path)
+    assert int(a["nx"]) == int(b["nx"])
+    ra, rb = a["rows"], b["rows"]
+    n = min(len(ra), len(rb))
+    ra, rb = ra[:n], rb[:n]
+    assert np.array_equal(ra[:, 0], rb[:, 0]), "step grids differ"
+    print(f"nx={int(a['nx'])}  chip={a['dtype']}/{a['backend']}  "
+          f"twin={b['dtype']}/{b['backend']}  steps compared="
+          f"{int(ra[-1, 0])}")
+    print(f"{'step':>5} {'Ke_rel':>9} {'Kw_rel':>9} {'Pw_rel':>9}")
+    for i in range(n):
+        ke_r = abs(ra[i, 1] - rb[i, 1]) / abs(rb[i, 1])
+        kw_r = abs(ra[i, 3] - rb[i, 3]) / abs(rb[i, 3])
+        pw_r = abs(ra[i, 5] - rb[i, 5]) / abs(rb[i, 5])
+        print(f"{int(ra[i, 0]):5d} {ke_r:9.2e} {kw_r:9.2e} {pw_r:9.2e}")
+    # endpoint fields at the common horizon only make sense if both legs
+    # ran the same number of steps
+    if len(a["rows"]) == len(b["rows"]):
+        dq = np.abs(a["q"] - b["q"]).max() / np.abs(b["q"]).max()
+        dphi = np.abs(a["phi"] - b["phi"]).max() / np.abs(b["phi"]).max()
+        print(f"endpoint fields: dq={dq:.3e} dphi={dphi:.3e} (relative)")
+    ke_end = abs(ra[-1, 1] - rb[-1, 1]) / abs(rb[-1, 1])
+    kw_end = abs(ra[-1, 3] - rb[-1, 3]) / abs(rb[-1, 3])
+    pw_end = abs(ra[-1, 5] - rb[-1, 5]) / abs(rb[-1, 5])
+    tol = float(os.environ.get("NIWQG_ACC_ANCHOR_TOL", "2e-3"))
+    ok = max(ke_end, kw_end, pw_end) < tol
+    print(f"endpoint energies vs f64 twin: Ke {ke_end:.2e} Kw {kw_end:.2e} "
+          f"Pw {pw_end:.2e} (tol {tol:.0e})")
+    print("ANCHOR:", "PASS" if ok else "FAIL")
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    mode = sys.argv[1] if len(sys.argv) > 1 else "run"
+    if mode == "run":
+        sys.exit(run_leg(sys.argv[2] if len(sys.argv) > 2 else
+                         "acceptance_leg.npz"))
+    elif mode == "compare":
+        sys.exit(compare(sys.argv[2], sys.argv[3]))
+    else:
+        raise SystemExit(f"unknown mode {mode}")
