@@ -51,12 +51,19 @@ def build(nx, nsteps):
         nuw=50.0 * s**2, use_filter=False, U=-U0, tdiags=nsteps + 1,
     )
     q = ic.LambDipole(m, U=U0, R=2 * np.pi / k0)
-    m.set_q(q)
     # Gaussian NIW packet, carrier at 2x the dipole wavenumber, centred
     # on the dipole so refraction/advection generate wave gradients
     phi = np.asarray(ic.WavePacket(m, k=2 * k0, l=0, R=2 * np.pi / k0,
                                    x0=m.L / 2, y0=m.L / 2)) * A
+    # set_phi FIRST: a localized packet has nonzero wave PV, so the
+    # coupled inversion (and hence instantaneous ke_qg) depends on phi.
+    # set_q seeds the integrated-Ke budget from an inversion with the
+    # *current* phi (reference semantics, ``niwqg/Kernel.py:520-535``);
+    # seeding it before phi is known leaves a constant Ke offset in the
+    # closure residual (measured 3.4e-5 at 2048² — the reference's own
+    # oracle only ever ran uniform-phi ICs, where qw == 0 hides this).
     m.set_phi(phi)
+    m.set_q(q)
     return m
 
 
