@@ -122,12 +122,61 @@ def fold_filter_into(coefs: ETDRK4Coefs, filtr) -> ETDRK4Coefs:
     return ETDRK4Coefs(*[t * filtr for t in coefs])
 
 
+def _table_cache_dir() -> str:
+    """Directory for the persistent contour-table cache.
+
+    The Kassam–Trefethen contour means are the dominant cold-build cost
+    at production sizes (~20 s at 2048², ~1.5 min at 4096² on a 4-core
+    host even after the threaded/mirrored build); they depend only on
+    ``(ch, dt)``, so they are cached to disk keyed by a content hash.
+    ``NIWQG_TABLE_CACHE=0`` disables; any other value overrides the
+    default ``~/.cache/niwqg_tpu/etdrk4``. Only tables with >= 2^20
+    elements are cached (small builds are faster than the IO)."""
+    d = os.environ.get("NIWQG_TABLE_CACHE", "")
+    if d == "0":
+        return ""
+    return d or os.path.join(os.path.expanduser("~"), ".cache",
+                             "niwqg_tpu", "etdrk4")
+
+
+_TABLE_CACHE_MIN_ELEMS = 1 << 20  # 1024² — below this the build is ~instant
+
+
+def _contour_phis_cached(ch: np.ndarray, dt: float):
+    cache_dir = _table_cache_dir()
+    if not cache_dir or ch.size < _TABLE_CACHE_MIN_ELEMS:
+        return _contour_phis(ch, dt)
+    import hashlib
+
+    h = hashlib.sha256()
+    h.update(np.float64(dt).tobytes())
+    h.update(str(ch.shape).encode())
+    h.update(b"M=32,rho=1,v1")
+    h.update(np.ascontiguousarray(ch).tobytes())
+    fno = os.path.join(cache_dir, h.hexdigest() + ".npz")
+    if os.path.exists(fno):
+        try:
+            with np.load(fno) as z:
+                return z["Qh"], z["f0"], z["fab"], z["fc"]
+        except Exception:
+            pass  # corrupt/partial file: rebuild and overwrite
+    Qh, f0, fab, fc = _contour_phis(ch, dt)
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        tmp = fno + f".tmp{os.getpid()}.npz"  # np.savez appends .npz itself
+        np.savez(tmp[:-4], Qh=Qh, f0=f0, fab=fab, fc=fc)
+        os.replace(tmp, fno)
+    except OSError:
+        pass  # cache is best-effort (read-only FS, disk full, ...)
+    return Qh, f0, fab, fc
+
+
 def build_coefs(grid: Grid, c: np.ndarray, dt: float) -> ETDRK4Coefs:
     """Build ETDRK4 tables for a linear operator ``c`` (complex128, host)."""
     ch = c * dt
     expch = np.exp(ch)
     expch_h = np.exp(ch / 2.0)
-    Qh, f0, fab, fc = _contour_phis(ch, dt)
+    Qh, f0, fab, fc = _contour_phis_cached(ch, dt)
     to = lambda z: C.from_complex(z, dtype=grid.dtype)
     return ETDRK4Coefs(to(expch), to(expch_h), to(Qh), to(f0), to(fab), to(fc))
 

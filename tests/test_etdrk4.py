@@ -68,3 +68,44 @@ def test_mirror_skipped_for_asymmetric_operator():
     want = _direct_phis(ch, dt)
     for a, b in zip(got, want):
         assert np.array_equal(a, b)
+
+
+def test_table_disk_cache_roundtrip(monkeypatch, tmp_path):
+    """The persistent contour-table cache returns bitwise-identical
+    tables on the second build and ignores corrupt entries."""
+    import os
+
+    from niwqg_tpu import etdrk4
+
+    monkeypatch.setenv("NIWQG_TABLE_CACHE", str(tmp_path))
+    monkeypatch.setattr(etdrk4, "_TABLE_CACHE_MIN_ELEMS", 0)
+    g = Grid(nx=64, L=5e5, dtype=np.dtype("float64"))
+    c = linear_operator_q(g, U=-0.05, nu4=5e9, nu=20.0, mu=1e-8)
+    dt = 1e4
+    cold = etdrk4._contour_phis_cached(c * dt, dt)
+    files = list(tmp_path.iterdir())
+    assert len(files) == 1 and files[0].suffix == ".npz"
+    warm = etdrk4._contour_phis_cached(c * dt, dt)
+    for a, b in zip(cold, warm):
+        assert np.array_equal(a, b)
+    # a different operator gets its own entry, not a collision
+    c2 = linear_operator_q(g, U=-0.04, nu4=5e9, nu=20.0, mu=1e-8)
+    other = etdrk4._contour_phis_cached(c2 * dt, dt)
+    assert len(list(tmp_path.iterdir())) == 2
+    assert not np.array_equal(other[0], cold[0])
+    # corrupt entry: rebuilt, not crashed
+    files[0].write_bytes(b"garbage")
+    again = etdrk4._contour_phis_cached(c * dt, dt)
+    for a, b in zip(cold, again):
+        assert np.array_equal(a, b)
+
+
+def test_table_cache_disabled_by_default_for_small_grids(monkeypatch,
+                                                         tmp_path):
+    monkeypatch.setenv("NIWQG_TABLE_CACHE", str(tmp_path))
+    g = Grid(nx=64, L=5e5, dtype=np.dtype("float64"))
+    c = linear_operator_q(g, U=-0.05, nu4=5e9, nu=20.0, mu=1e-8)
+    from niwqg_tpu import etdrk4
+
+    etdrk4._contour_phis_cached(c * 1e4, 1e4)
+    assert list(tmp_path.iterdir()) == []  # below the size threshold
