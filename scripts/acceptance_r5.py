@@ -90,8 +90,6 @@ def run_leg(out_path):
     t_first = None
     for i in range(nsteps // chunk):
         state = run(state)
-        if t_first is None:
-            t_first = time.time()
         ke_i = float(np.asarray(K.ke_qg(state.d.ph)))
         kw_i = float(np.asarray(K.ke_niw(state.d.phi)))
         pw_i = float(np.asarray(K.pe_niw(state.phih)))
@@ -106,6 +104,11 @@ def run_leg(out_path):
               f"Kw={Kw:.6e} (inst {kw_i:.6e}) Pw={Pw:.6e} "
               f"(inst {pw_i:.6e}) closure={rel:.2e} "
               f"[{time.time() - t0:.0f}s]", flush=True)
+        if t_first is None:
+            # end of the compile-bearing first chunk INCLUDING its
+            # scalar fetches (run() returns before the async work
+            # completes; timing it directly undercounts)
+            t_first = time.time()
         if not np.isfinite(rel):
             print(f"NON-FINITE at step <= {step}", flush=True)
             break
