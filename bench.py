@@ -144,12 +144,16 @@ def main():
     budgets = os.environ.get("NIWQG_BENCH_BUDGETS", "1") != "0"
     models = [s.strip() for s in os.environ.get(
         "NIWQG_BENCH_MODELS", "qg,ybj,coupled").split(",") if s.strip()]
+    unknown = set(models) - {"qg", "ybj", "coupled"}
+    if unknown:  # fail before burning bench time on the valid legs
+        raise SystemExit(f"unknown NIWQG_BENCH_MODELS entries: {unknown}")
     timeout = int(os.environ.get("NIWQG_BENCH_TIMEOUT", "3000"))
     backend = jax.default_backend()
+    current = {"name": models[0] if models else "none"}
 
     def on_timeout(sig, frame):
-        _emit(f"coupled-step grid-points/s @ {nx}^2 ({backend}) [TIMEOUT]",
-              0.0, 0.0)
+        _emit(f"{current['name']}-step grid-points/s @ {nx}^2 "
+              f"({backend}) [TIMEOUT]", 0.0, 0.0)
         os._exit(2)
 
     signal.signal(signal.SIGALRM, on_timeout)
@@ -162,17 +166,16 @@ def main():
     order = [n for n in models if n != "coupled"] + (
         ["coupled"] if "coupled" in models else [])
     for name in order:
+        current["name"] = name
         if name == "coupled":
             m = _build_coupled(nx=nx, compute_budgets=budgets)
             fetch = lambda s: s.Ke
         elif name == "qg":
             m = _build_qg(nx)
             fetch = lambda s: s.Ke
-        elif name == "ybj":
+        else:  # ybj (validated above)
             m = _build_ybj(nx)
             fetch = lambda s: s.Kw
-        else:
-            raise ValueError(name)
         steps_per_s = _bench_model(name, m, nx, nsteps, mode, fetch)
         pts_per_s = steps_per_s * nx * nx
         _emit(f"{name}-step grid-points/s @ {nx}^2 ({backend})",

@@ -736,7 +736,10 @@ class _WaveModel(_ModelBase):
         return ["t", "q", "phi"]
 
     def set_q(self, q):
-        self._queue_apply("q", np.asarray(q, dtype=self.kernel.dtype))
+        # copy: the queue must capture the VALUE at call time (asarray
+        # aliases a matching-dtype input, and the caller may mutate it
+        # before the lazy flush)
+        self._queue_apply("q", np.array(q, dtype=self.kernel.dtype))
 
     def set_phi(self, phi):
         if not isinstance(phi, C):
@@ -968,7 +971,8 @@ class QGModel(_ModelBase):
         return ["t", "q", "c"] if self.params.passive_scalar else ["t", "q"]
 
     def set_q(self, q):
-        self._queue_apply("q", np.asarray(q, dtype=self.kernel.dtype))
+        # copy, not asarray: capture the value at call time (see _WaveModel)
+        self._queue_apply("q", np.array(q, dtype=self.kernel.dtype))
 
     def set_c(self, c):
         self._queue_apply(

@@ -25,20 +25,29 @@ def initialize(coordinator_address: Optional[str] = None,
                num_processes: Optional[int] = None,
                process_id: Optional[int] = None):
     """``jax.distributed.initialize`` with env-var fallbacks; no-op when
-    already initialized or single-process."""
-    if jax.process_count() > 1:
-        return
-    if coordinator_address is not None or num_processes is not None:
-        # explicit bootstrap: surface failures (a silently-local "pod"
-        # run would compute garbage per-host results)
+    already initialized or single-process.
+
+    Must run before anything touches the XLA backend — including
+    ``jax.process_count()``/``jax.devices()`` (so this function must NOT
+    probe them first; that was a round-5 bug that made every explicit
+    bootstrap raise). With explicit args, failures are surfaced — a
+    silently-local "pod" run would compute garbage per-host results;
+    the no-arg env-fallback stays permissive for single-process use."""
+    explicit = (coordinator_address is not None or
+                num_processes is not None or process_id is not None)
+    try:
         jax.distributed.initialize(coordinator_address, num_processes,
                                    process_id)
-        return
-    try:
-        jax.distributed.initialize()
-    except (ValueError, RuntimeError):
-        # single-process / env not set: stay local
-        pass
+    except RuntimeError as e:
+        # repeated initialize (already bootstrapped) is a benign no-op
+        if "already" in str(e) or "once" in str(e):
+            return
+        if explicit:
+            raise
+        # env fallback after backend init / no coordinator: stay local
+    except ValueError:
+        if explicit:
+            raise
 
 
 def global_mesh():

@@ -75,7 +75,8 @@ def run_leg(out_path):
 
     nx = int(os.environ.get("NIWQG_ACC_NX", "2048"))
     nsteps = int(os.environ.get("NIWQG_ACC_STEPS", "300"))
-    chunk = int(os.environ.get("NIWQG_ACC_CHUNK", "25"))
+    chunk = min(int(os.environ.get("NIWQG_ACC_CHUNK", "25")), nsteps)
+    nsteps = (nsteps // chunk) * chunk  # whole chunks only
 
     t_build0 = time.time()
     m = build(nx, nsteps)
@@ -118,6 +119,8 @@ def run_leg(out_path):
     print(f"{nx}^2 x {len(rows) * chunk} steps in {wall:.0f}s "
           f"(steady {sps:.2f} steps/s)", flush=True)
 
+    m.state = state  # adopt the advanced state (m.q/m.phi = ENDPOINT)
+    assert int(m.tc) == len(rows) * chunk, (m.tc, len(rows), chunk)
     rows = np.asarray(rows)
     np.savez_compressed(
         out_path, rows=rows, nx=nx, dt=float(m.dt),
@@ -127,6 +130,9 @@ def run_leg(out_path):
     )
     print(f"wrote {out_path}", flush=True)
 
+    if not len(rows):
+        print("ACCEPTANCE: FAIL (no steps run)")
+        return 1
     worst = float(np.max(rows[:, 7])) if np.all(np.isfinite(rows[:, 7])) \
         else float("nan")
     # f32 tolerance: RK4 truncation (~1e-6) + f32 transform rounding

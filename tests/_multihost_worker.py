@@ -22,17 +22,16 @@ jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_num_cpu_devices", 2)
 jax.config.update("jax_enable_x64", True)
 
-# must run before ANY call that initializes the XLA backend — including
-# importing niwqg_tpu (whose module graph touches jax.default_backend)
-jax.distributed.initialize(f"127.0.0.1:{port}", 2, pid)
-
 import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# the documented pod-slice bootstrap path: multihost.initialize BEFORE
+# anything touches the XLA backend (the import itself must stay clean)
 from niwqg_tpu.parallel import multihost
 
-multihost.initialize()  # must be a no-op now
+multihost.initialize(f"127.0.0.1:{port}", 2, pid)
+multihost.initialize()  # repeated call must be a benign no-op
 assert jax.process_count() == 2, jax.process_count()
 assert len(jax.devices()) == 4, jax.devices()
 
