@@ -67,6 +67,92 @@ def build(nx, nsteps):
     return m
 
 
+def build_qg(nx, nsteps):
+    """QG + passive scalar leg: the reference's second budget oracle
+    (`/root/reference/niwqg/tests/test_diagnostics.py:38-65`: integrated
+    Ke vs instantaneous ke_qg, integrated cvar vs instantaneous C2)."""
+    from niwqg_tpu import InitialConditions as ic
+    from niwqg_tpu import QGModel
+
+    U0 = 0.05
+    L = 2 * np.pi * 200e3
+    k0 = 10 * (2 * np.pi / L)
+    dx = L / nx
+    cfl_target = float(os.environ.get("NIWQG_ACC_CFL", "0.4"))
+    dt = cfl_target * dx / U0
+    s = 128.0 / nx
+    m = QGModel.Model(
+        L=L, nx=nx, dt=dt, tmax=nsteps * dt, beta=1e-11, use_filter=False,
+        nu4=5e11 * s**3, nu=20.0 * s**2, passive_scalar=True,
+        nu4c=5e11 * s**3, nuc=20.0 * s**2, U=-U0, tdiags=nsteps + 1,
+    )
+    q = ic.LambDipole(m, U=U0, R=2 * np.pi / k0)
+    m.set_q(q)
+    # structured scalar: a localized blob advected through the dipole
+    x, y = m.x, m.y
+    r2 = (x - m.L / 2) ** 2 + (y - m.L / 2) ** 2
+    m.set_c(np.exp(-r2 / (2 * np.pi / k0) ** 2))
+    return m
+
+
+def run_leg_qg(out_path):
+    import jax
+
+    if jax.default_backend() == "cpu":
+        jax.config.update("jax_enable_x64", True)
+
+    nx = int(os.environ.get("NIWQG_ACC_NX", "2048"))
+    nsteps = int(os.environ.get("NIWQG_ACC_STEPS", "300"))
+    chunk = min(int(os.environ.get("NIWQG_ACC_CHUNK", "25")), nsteps)
+    nsteps = (nsteps // chunk) * chunk
+
+    t_build0 = time.time()
+    m = build_qg(nx, nsteps)
+    K = m.kernel
+    state = m.state
+    print(f"build: {time.time() - t_build0:.0f}s nx={nx} dt={m.dt:.1f}s "
+          f"dtype={K.dtype} backend={jax.default_backend()} model=qg",
+          flush=True)
+
+    run = m._chunk(chunk)
+    rows = []  # (step, Ke, ke_inst, cvar, C2_inst, closure)
+    t0 = time.time()
+    for i in range(nsteps // chunk):
+        state = run(state)
+        ke_i = float(np.asarray(K.ke_qg(state.ph)))
+        c2_i = float(np.asarray(K.spec_var(state.ch)))
+        Ke = float(np.asarray(state.Ke))
+        cv = float(np.asarray(state.cvar))
+        scale = max(abs(ke_i), abs(c2_i))
+        rel = max(abs(Ke - ke_i), abs(cv - c2_i)) / scale
+        step = (i + 1) * chunk
+        rows.append((step, Ke, ke_i, cv, c2_i, rel))
+        print(f"step {step:4d}: Ke={Ke:.6e} (inst {ke_i:.6e}) "
+              f"cvar={cv:.6e} (C2 {c2_i:.6e}) closure={rel:.2e} "
+              f"[{time.time() - t0:.0f}s]", flush=True)
+        if not np.isfinite(rel):
+            print(f"NON-FINITE at step <= {step}", flush=True)
+            break
+    m.state = state
+    rows = np.asarray(rows)
+    np.savez_compressed(out_path, rows=rows, nx=nx, dt=float(m.dt),
+                        dtype=str(K.dtype), backend=jax.default_backend(),
+                        q=np.asarray(m.q, dtype=np.float64),
+                        c=np.asarray(m.c, dtype=np.float64))
+    print(f"wrote {out_path}", flush=True)
+    if not len(rows):
+        print("ACCEPTANCE(QG): FAIL (no steps run)")
+        return 1
+    worst = float(np.max(rows[:, 5])) if np.all(np.isfinite(rows[:, 5])) \
+        else float("nan")
+    tol = 5e-3 if K.dtype == np.float32 else 2e-5
+    ok = bool(np.isfinite(worst)) and worst < tol
+    print(f"worst closure over {len(rows) * chunk} steps: {worst:.2e} "
+          f"(tol {tol:.0e})")
+    print("ACCEPTANCE(QG):", "PASS" if ok else "FAIL")
+    return 0 if ok else 1
+
+
 def run_leg(out_path):
     import jax
 
@@ -187,6 +273,9 @@ if __name__ == "__main__":
     if mode == "run":
         sys.exit(run_leg(sys.argv[2] if len(sys.argv) > 2 else
                          "acceptance_leg.npz"))
+    elif mode == "run-qg":
+        sys.exit(run_leg_qg(sys.argv[2] if len(sys.argv) > 2 else
+                            "acceptance_qg_leg.npz"))
     elif mode == "compare":
         sys.exit(compare(sys.argv[2], sys.argv[3]))
     else:
