@@ -237,9 +237,14 @@ def compare(chip_path, cpu_path):
     a, b = np.load(chip_path), np.load(cpu_path)
     assert int(a["nx"]) == int(b["nx"])
     ra, rb = a["rows"], b["rows"]
-    n = min(len(ra), len(rb))
-    ra, rb = ra[:n], rb[:n]
-    assert np.array_equal(ra[:, 0], rb[:, 0]), "step grids differ"
+    # align on common sample steps (legs may use different chunk sizes)
+    common = np.intersect1d(ra[:, 0], rb[:, 0])
+    assert len(common), "no common sample steps"
+    ra = ra[np.isin(ra[:, 0], common)]
+    rb = rb[np.isin(rb[:, 0], common)]
+    n = len(common)
+    full = (ra[-1, 0] == a["rows"][-1, 0] and rb[-1, 0] == b["rows"][-1, 0]
+            and ra[-1, 0] == rb[-1, 0])
     print(f"nx={int(a['nx'])}  chip={a['dtype']}/{a['backend']}  "
           f"twin={b['dtype']}/{b['backend']}  steps compared="
           f"{int(ra[-1, 0])}")
@@ -249,9 +254,9 @@ def compare(chip_path, cpu_path):
         kw_r = abs(ra[i, 3] - rb[i, 3]) / abs(rb[i, 3])
         pw_r = abs(ra[i, 5] - rb[i, 5]) / abs(rb[i, 5])
         print(f"{int(ra[i, 0]):5d} {ke_r:9.2e} {kw_r:9.2e} {pw_r:9.2e}")
-    # endpoint fields at the common horizon only make sense if both legs
-    # ran the same number of steps
-    if len(a["rows"]) == len(b["rows"]):
+    # endpoint fields only make sense if both legs stopped at the same
+    # final step
+    if full:
         dq = np.abs(a["q"] - b["q"]).max() / np.abs(b["q"]).max()
         dphi = np.abs(a["phi"] - b["phi"]).max() / np.abs(b["phi"]).max()
         print(f"endpoint fields: dq={dq:.3e} dphi={dphi:.3e} (relative)")
