@@ -191,15 +191,17 @@ def test_uncoupled_sharded_equals_single(mesh, faithful):
         assert np.abs(va - vb).max() < 1e-10 * (np.abs(va).max() + 1e-300), name
 
 
-def test_uncoupled_mxu_mesh_equals_single(mesh):
-    """UnCoupled default (faithful) mode under the GSPMD MXU mesh."""
+@pytest.mark.parametrize("faithful", [True, False])
+def test_uncoupled_mxu_mesh_equals_single(mesh, faithful):
+    """UnCoupled under the GSPMD MXU mesh, both quirk modes."""
     from niwqg_tpu import UnCoupledModel
 
     def build(mesh):
         U0 = 0.05
         m = UnCoupledModel.Model(use_filter=False, U=-U0, tdiags=3,
                                  tmax=5 * 10000.0, mesh=mesh, backend="mxu",
-                                 dtype=np.float64, fast=True)
+                                 dtype=np.float64, fast=True,
+                                 faithful_quirks=faithful)
         k0 = 10 * (2 * np.pi / m.L)
         q = ic.LambDipole(m, U=U0, R=2 * np.pi / k0)
         m.set_q(q)
@@ -246,14 +248,16 @@ def test_ybj_sharded_equals_single(mesh, faithful):
         assert np.abs(va - vb).max() < 1e-10 * (np.abs(va).max() + 1e-300), name
 
 
-def test_ybj_mxu_mesh_equals_single(mesh):
-    """YBJ under the GSPMD MXU mesh (default faithful mode)."""
+@pytest.mark.parametrize("faithful", [True, False])
+def test_ybj_mxu_mesh_equals_single(mesh, faithful):
+    """YBJ under the GSPMD MXU mesh, both quirk modes."""
     from niwqg_tpu import YBJModel
 
     def build(mesh):
         U0 = 0.05
         m = YBJModel.Model(use_filter=False, tdiags=1, tmax=4 * 10000.0,
-                           mesh=mesh, backend="mxu", dtype=np.float64)
+                           mesh=mesh, backend="mxu", dtype=np.float64,
+                           faithful_quirks=faithful)
         k0 = 10 * (2 * np.pi / m.L)
         q = ic.LambDipole(m, U=U0, R=2 * np.pi / k0)
         m.set_q(q)
