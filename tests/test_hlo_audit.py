@@ -109,6 +109,38 @@ def test_pencil_qg_step_collectives(mesh):
     _assert_pencil_invariants(_step_hlo_qg(mesh), "qg/pencil")
 
 
+def test_pencil_pair_inverse_batches_one_collective(mesh):
+    """pair_inverse halves the real-inverse group's transpose volume AND
+    (since the round-5 batched packing, ADVICE r4) issues the whole
+    packed group as ONE batched all_to_all rather than one per pair —
+    the compiled step must carry strictly fewer all-to-all ops than the
+    unpacked step."""
+    base = _step_hlo_coupled(mesh, fast=True)
+    pair = _step_hlo_coupled(mesh, fast=True, pair_inverse=True)
+    # the fast kernel already batches each transform group into one
+    # all_to_all op, so the op COUNT matches; the win is VOLUME — the
+    # packed inverse moves half the real-inverse group's elements
+    # (52 -> 44 transposed fields/step, traffic_audit_r4)
+    n_base = _op_count(base, "all-to-all")
+    n_pair = _op_count(pair, "all-to-all")
+    assert n_pair <= n_base, (n_pair, n_base)
+    v_base = sum(_result_shapes(base, "all-to-all"))
+    v_pair = sum(_result_shapes(pair, "all-to-all"))
+    # audited: 212992 -> 180224 elements at nx=128/4 dev (-15.4%, the
+    # traffic_audit_r4 figure)
+    assert v_pair <= 0.90 * v_base, (
+        f"pair_inverse no longer reduces transpose volume: "
+        f"{v_pair} vs {v_base} elements")
+    # the fast kernel's pencil path (both variants) carries small
+    # Hermitian-mirror collective-permutes — bound them to well under a
+    # field so a layout regression can't hide real traffic in them
+    field = NX * NX
+    for txt, label in ((base, "base"), (pair, "pair")):
+        assert _op_count(txt, "all-gather") == 0, label
+        vperm = sum(_result_shapes(txt, "collective-permute"))
+        assert vperm <= 3 * field, (label, vperm)
+
+
 def test_mxu_gspmd_coupled_step_traffic_budget(mesh):
     """GSPMD chooses the MXU path's collectives; budget its gather traffic.
 
