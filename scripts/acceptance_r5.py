@@ -232,6 +232,37 @@ def run_leg(out_path):
     return 0 if ok else 1
 
 
+def compare_qg(chip_path, cpu_path):
+    """Anchor the QG chip f32 leg (rows: step, Ke, ke_i, cvar, C2, rel)
+    against its CPU f64 twin."""
+    a, b = np.load(chip_path), np.load(cpu_path)
+    assert int(a["nx"]) == int(b["nx"])
+    ra, rb = a["rows"], b["rows"]
+    common = np.intersect1d(ra[:, 0], rb[:, 0])
+    ra = ra[np.isin(ra[:, 0], common)]
+    rb = rb[np.isin(rb[:, 0], common)]
+    print(f"nx={int(a['nx'])}  chip={a['dtype']}/{a['backend']}  "
+          f"twin={b['dtype']}/{b['backend']}  steps compared="
+          f"{int(ra[-1, 0])}")
+    print(f"{'step':>5} {'Ke_rel':>9} {'cvar_rel':>9}")
+    for i in range(len(common)):
+        ke_r = abs(ra[i, 1] - rb[i, 1]) / abs(rb[i, 1])
+        cv_r = abs(ra[i, 3] - rb[i, 3]) / abs(rb[i, 3])
+        print(f"{int(ra[i, 0]):5d} {ke_r:9.2e} {cv_r:9.2e}")
+    if ra[-1, 0] == rb[-1, 0]:
+        dq = np.abs(a["q"] - b["q"]).max() / np.abs(b["q"]).max()
+        dc = np.abs(a["c"] - b["c"]).max() / np.abs(b["c"]).max()
+        print(f"endpoint fields: dq={dq:.3e} dc={dc:.3e} (relative)")
+    ke_end = abs(ra[-1, 1] - rb[-1, 1]) / abs(rb[-1, 1])
+    cv_end = abs(ra[-1, 3] - rb[-1, 3]) / abs(rb[-1, 3])
+    tol = float(os.environ.get("NIWQG_ACC_ANCHOR_TOL", "2e-3"))
+    ok = max(ke_end, cv_end) < tol
+    print(f"endpoint energies vs f64 twin: Ke {ke_end:.2e} "
+          f"cvar {cv_end:.2e} (tol {tol:.0e})")
+    print("ANCHOR(QG):", "PASS" if ok else "FAIL")
+    return 0 if ok else 1
+
+
 def compare(chip_path, cpu_path):
     """Anchor the chip f32 leg against its CPU f64 twin."""
     a, b = np.load(chip_path), np.load(cpu_path)
@@ -283,5 +314,7 @@ if __name__ == "__main__":
                             "acceptance_qg_leg.npz"))
     elif mode == "compare":
         sys.exit(compare(sys.argv[2], sys.argv[3]))
+    elif mode == "compare-qg":
+        sys.exit(compare_qg(sys.argv[2], sys.argv[3]))
     else:
         raise SystemExit(f"unknown mode {mode}")
