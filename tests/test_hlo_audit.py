@@ -110,11 +110,12 @@ def test_pencil_qg_step_collectives(mesh):
 
 
 def test_pencil_pair_inverse_batches_one_collective(mesh):
-    """pair_inverse halves the real-inverse group's transpose volume AND
-    (since the round-5 batched packing, ADVICE r4) issues the whole
-    packed group as ONE batched all_to_all rather than one per pair —
-    the compiled step must carry strictly fewer all-to-all ops than the
-    unpacked step."""
+    """pair_inverse halves the real-inverse group's transpose VOLUME
+    (the pinned invariant below: >= 10% fewer all-to-all elements). The
+    op COUNT matches the unpacked step by design — the fast kernel
+    already batches each transform group into one collective; the
+    round-5 batched packing (ADVICE r4) keeps it that way rather than
+    regressing to one collective per pair (guarded by the <=)."""
     base = _step_hlo_coupled(mesh, fast=True)
     pair = _step_hlo_coupled(mesh, fast=True, pair_inverse=True)
     # the fast kernel already batches each transform group into one
