@@ -34,8 +34,14 @@ from .models.ybj import YBJKernel
 
 
 def _default_dtype():
-    # float64 where the backend supports it (CPU), float32 on TPU.
-    return np.float64 if jax.default_backend() in ("cpu",) else np.float32
+    # float64 where the backend will ACTUALLY compute it: on CPU that
+    # additionally requires jax_enable_x64 — otherwise jnp silently
+    # downcasts every array to f32 while the host-side tables (and the
+    # host step counter in _count_steps) stay f64, silently diverging
+    # from the reference f64 solver (review r5). float32 on TPU.
+    if jax.default_backend() in ("cpu",) and jax.config.jax_enable_x64:
+        return np.float64
+    return np.float32
 
 
 def _make_logger(name: str, loglevel: int = 10) -> logging.Logger:
@@ -71,11 +77,19 @@ def _make_sharded_transform(nx, dtype, mesh, backend, precision, opts=None):
         return MXUTransform(nx, dtype, precision=precision, **opts)
     from .parallel.pfft import PencilTransform
 
-    return PencilTransform(nx, dtype, mesh,
-                           overlap_chunks=opts.pop("overlap_chunks", 1),
-                           pallas_a2a=opts.pop("pallas_a2a", False),
-                           pallas_interpret=opts.pop("pallas_interpret",
-                                                     False))
+    tr = PencilTransform(nx, dtype, mesh,
+                         overlap_chunks=opts.pop("overlap_chunks", 1),
+                         pallas_a2a=opts.pop("pallas_a2a", False),
+                         pallas_interpret=opts.pop("pallas_interpret",
+                                                   False))
+    if opts:
+        # MXU-only (or misspelled) keys: warn instead of silently
+        # dropping — the MXU branch raises TypeError on unknowns, so a
+        # typo should at least be visible here too (review r5)
+        logging.getLogger(__name__).warning(
+            "transform_opts ignored by the pencil provider: %s",
+            sorted(opts))
+    return tr
 
 
 class _ModelBase:
@@ -536,9 +550,15 @@ class _ModelBase:
         live model, with compiled chunks in between."""
         tsnapints = int(np.ceil(tsnapint / self.params.dt))
         total = self._count_steps(self.params.tmax)
-        for tc_now in self._advance_chunked(total, extra_stride=tsnapints):
-            if self.t >= tsnapstart and (tc_now % tsnapints) == 0:
-                yield self.t
+        try:
+            for tc_now in self._advance_chunked(total,
+                                                extra_stride=tsnapints):
+                if self.t >= tsnapstart and (tc_now % tsnapints) == 0:
+                    yield self.t
+        finally:
+            # flush (and surface errors from) any queued async snapshot
+            # writes — this loop never reaches save_diagnostics' drain
+            self.saver.drain()
 
     def run_steps(self, n: int):
         """Fast path: n steps as one compiled ``lax.scan`` (no host I/O)."""
@@ -774,9 +794,12 @@ class _WaveModel(_ModelBase):
             "Pw: %4.3e, CFL: %3.2f",
             self.tc, self.t, self.t / self.params.tmax, ke, kew, pew, cfl,
         )
-        assert cfl < self.params.cflmax, self.logger.error(
-            "CFL condition violated"
-        )
+        # explicit raise, not `assert`: the guard must survive python -O
+        # (reference semantics: AssertionError, ``niwqg/Kernel.py:598``)
+        if not (cfl < self.params.cflmax):
+            self.logger.error("CFL condition violated")
+            raise AssertionError(f"CFL condition violated: {cfl:.3f} >= "
+                                 f"{self.params.cflmax}")
 
 
 class CoupledModel(_WaveModel):
@@ -1003,6 +1026,7 @@ class QGModel(_ModelBase):
             "Step: %i, Time: %4.3e, P: %4.3e , Ke: %4.3e, CFL: %4.3f",
             self.tc, self.t, self.t / self.params.tmax, ke, cfl,
         )
-        assert cfl < self.params.cflmax, self.logger.error(
-            "CFL condition violated"
-        )
+        if not (cfl < self.params.cflmax):  # survives python -O
+            self.logger.error("CFL condition violated")
+            raise AssertionError(f"CFL condition violated: {cfl:.3f} >= "
+                                 f"{self.params.cflmax}")

@@ -49,9 +49,12 @@ class Saver:
         self.overwrite = overwrite
         self.snapshot_format = snapshot_format
         self._async_writer = None
-        if save_to_disk and not os.path.isdir(path):
-            os.makedirs(path)
-            os.makedirs(os.path.join(path, "snapshots"))
+        self._last_stem = None
+        if save_to_disk:
+            # exist_ok on BOTH levels: a pre-existing output/ without
+            # snapshots/ previously skipped creation entirely and every
+            # snapshot write then failed (review r5)
+            os.makedirs(os.path.join(path, "snapshots"), exist_ok=True)
         if save_to_disk and snapshot_format == "npy-async":
             from .io_native import AsyncSnapshotWriter
 
@@ -77,7 +80,18 @@ class Saver:
         if not self.save_to_disk:
             return
         t = float(np.asarray(model.t))
-        stem = "{:015.0f}".format(t)
+        stem = "{:015.0f}".format(t)  # reference naming (Saving.py:72)
+        if stem == self._last_stem:
+            # dt < 1 (nondimensional time units): successive snapshots
+            # round to the same integer stem and overwrite each other —
+            # a reference-layout limitation worth shouting about
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "snapshot stem %s repeats (dt < 1 time unit between "
+                "snapshots?) — overwriting the previous snapshot file",
+                stem)
+        self._last_stem = stem
         if self._async_writer is not None:
             for field in fields:
                 fno = os.path.join(self.path, "snapshots",
@@ -96,8 +110,7 @@ class Saver:
         """``niwqg/Saving.py:88-101``."""
         if not self.save_to_disk:
             return
-        if self._async_writer is not None:
-            self._async_writer.drain()
+        self.drain()  # flush queued snapshot writes + surface errors
         fno = os.path.join(self.path, "diagnostics.h5")
         _file_exist(fno, overwrite=self.overwrite)
         with h5py.File(fno, "w") as h5file:
@@ -107,6 +120,12 @@ class Saver:
     def drain(self):
         if self._async_writer is not None:
             self._async_writer.drain()
+            n = self._async_writer.errors()
+            if n:
+                raise IOError(
+                    f"{n} async snapshot write(s) failed (disk full / "
+                    f"unwritable path?) — output under {self.path!r} is "
+                    f"incomplete")
 
 
 # ----------------------------------------------------------------------

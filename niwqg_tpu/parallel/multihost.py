@@ -44,10 +44,20 @@ def initialize(coordinator_address: Optional[str] = None,
             return
         if explicit:
             raise
-        # env fallback after backend init / no coordinator: stay local
-    except ValueError:
+        # env fallback after backend init / no coordinator: stay local,
+        # but say so — a launcher that relied on env autodetection would
+        # otherwise silently run N independent local jobs (review r5)
+        import warnings
+
+        warnings.warn(f"jax.distributed env bootstrap not performed "
+                      f"({e}); continuing single-process")
+    except ValueError as e:
         if explicit:
             raise
+        import warnings
+
+        warnings.warn(f"jax.distributed env bootstrap not performed "
+                      f"({e}); continuing single-process")
 
 
 def global_mesh():
